@@ -3,7 +3,11 @@ import os
 # Tests run on a virtual 8-device CPU mesh with float64 enabled so we can
 # check numerics against the f64 C++ reference. TPU execution paths are
 # exercised by bench.py / __graft_entry__.py.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+#
+# A pytest plugin may import jax (and even initialize the TPU backend)
+# before this conftest runs, so setting the env var alone is not enough:
+# force the platform through the config API and drop any live backends.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,7 +16,17 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+try:
+    import jax.extend.backend
+
+    jax.extend.backend.clear_backends()
+except Exception:
+    pass
 jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+
+assert jax.devices()[0].platform == "cpu", jax.devices()
 
 FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures")
 GOLDDIR = os.path.join(os.path.dirname(__file__), "golden")
