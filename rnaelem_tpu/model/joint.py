@@ -412,7 +412,10 @@ def logZ_parts(cfg: ModelConfig, params: Params, sd: SeqData, aux=None,
     """
     k = kernels(cfg)
     if cfg.no_rss:
-        return linear_parts(cfg, params, sd, aux)
+        lp = linear_parts(cfg, params, sd, aux)
+        if with_eff:
+            return lp, jnp.asarray(1.0)
+        return lp
     if bp_ok is None:
         bp_ok, eff = effective_bp_mask(cfg, sd)
     else:
