@@ -33,6 +33,8 @@ class BatchData(NamedTuple):
     sd: J.SeqData            # fields stacked with leading batch axis
     restrict_ari: jnp.ndarray  # [B] bool: label-restriction is motif-present
     lik_sign: jnp.ndarray    # [B] +-1.0 for lik-ratio mode
+    is_neg: jnp.ndarray      # [B] bool: shuffled negative (weaker skip
+    #                           check, motif_trainer.hpp:236)
     valid: jnp.ndarray       # [B] bool (padding rows in a batch)
 
 
@@ -43,27 +45,31 @@ def stack_reads(cfg: J.ModelConfig, reads, negatives=None) -> BatchData:
     seq_codes (quality all zero, restricted to motif-absent,
     motif_trainer.hpp:228-245).
     """
-    sds, ari, sign = [], [], []
+    sds, ari, sign, neg = [], [], [], []
     for seq, quals in reads:
         sd = J.make_seqdata(cfg, seq, quals)
         sds.append(sd)
         ari.append(bool(sd.has_motif))
         sign.append(-1.0 if bool(sd.has_motif) else 1.0)
+        neg.append(False)
     for seq in negatives or []:
         q = np.zeros(len(seq) + 1, np.int64)
         sds.append(J.make_seqdata(cfg, seq, q))
         ari.append(False)
         sign.append(1.0)
+        neg.append(True)
     sd = jax.tree.map(lambda *xs: jnp.stack(xs), *sds)
     return BatchData(
         sd=sd,
         restrict_ari=jnp.asarray(ari),
         lik_sign=jnp.asarray(sign, jnp.dtype(cfg.dtype)),
+        is_neg=jnp.asarray(neg),
         valid=jnp.ones(len(sds), bool),
     )
 
 
-def _read_f(cfg, params, sd, restrict_ari, lik_sign, lik_ratio: bool):
+def _read_f(cfg, params, sd, restrict_ari, lik_sign, is_neg,
+            lik_ratio: bool):
     parts, eff = J.logZ_parts(cfg, params, sd, with_eff=True)
     z_all = lse(parts, axis=-1)
     z_ari = lse(jnp.where(jnp.asarray([False, True, True]), parts, NEG),
@@ -75,8 +81,11 @@ def _read_f(cfg, params, sd, restrict_ari, lik_sign, lik_ratio: bool):
     else:
         z_restr = jnp.where(restrict_ari, z_ari, z_nasi)
         f = z_all - z_restr
-        ok = jnp.isfinite(z_all) & jnp.isfinite(z_restr)
-    return jnp.where(ok, f, 0.0), eff
+        # skip checks: positives require finite Z(all) and Z(ari)
+        # regardless of label; negatives only finite Z(all)
+        # (motif_trainer.hpp:211-214, 236-239)
+        ok = jnp.isfinite(z_all) & (is_neg | jnp.isfinite(z_ari))
+    return jnp.where(ok, f, 0.0), jnp.where(is_neg, 0.0, eff)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3))
@@ -86,8 +95,9 @@ def batch_fn_grad(cfg: J.ModelConfig, params: J.Params, batch: BatchData,
 
     def total(p):
         f, eff = jax.vmap(
-            lambda sd, ra, sg: _read_f(cfg, p, sd, ra, sg, lik_ratio)
-        )(batch.sd, batch.restrict_ari, batch.lik_sign)
+            lambda sd, ra, sg, ng: _read_f(cfg, p, sd, ra, sg, ng,
+                                           lik_ratio)
+        )(batch.sd, batch.restrict_ari, batch.lik_sign, batch.is_neg)
         f = jnp.where(batch.valid, f, 0.0)
         eff = jnp.where(batch.valid, eff, 0.0)
         return f.sum(), eff.sum()
