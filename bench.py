@@ -1,0 +1,65 @@
+"""Benchmark: sequences/sec/chip for one full fn/gradient evaluation
+(inside + outside incl. BPP pruning pre-pass) on the len-100 bucket,
+pattern (.....), W=50, C=30 — the training hot path.
+
+Baseline: the reference C++ binary does the same evaluation at
+9.48 seqs/s on one CPU core of this machine (64 x 100nt, measured via
+its eval mode; see BASELINE.md).
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BASELINE_SEQS_PER_SEC = 9.48  # reference single-core (BASELINE.md)
+
+
+def main():
+    import jax
+    from rnaelem_tpu.alphabet import seq_to_ints
+    from rnaelem_tpu.model import joint as J
+    from rnaelem_tpu.train import objective as OBJ
+
+    dtype = "float32" if jax.default_backend() != "cpu" else "float64"
+    nseq, L = 64, 100
+    cfg = J.ModelConfig(pattern="(.....)", Lp=L, max_span=50,
+                        max_iloop=30, min_bpp=1e-4, tau=0.1,
+                        rho_theta=0.1, rho_lambda=0.1, dtype=dtype)
+    params = J.init_params(J.kernels(cfg).g, cfg, np.dtype(dtype))
+    rng = np.random.RandomState(0)
+    reads = []
+    for i in range(nseq):
+        s = "".join("ACGU"[c] for c in rng.randint(0, 4, L))
+        q = np.full(L + 1, 10 + (i % 3))
+        q[-1] = 0
+        reads.append((seq_to_ints(s), q))
+    batch = OBJ.stack_reads(cfg, reads)
+
+    # compile + warmup
+    fn, grads, eff = OBJ.batch_fn_grad(cfg, params, batch)
+    jax.block_until_ready(grads)
+
+    reps = 5
+    t0 = time.time()
+    for _ in range(reps):
+        fn, grads, eff = OBJ.batch_fn_grad(cfg, params, batch)
+    jax.block_until_ready(grads)
+    dt = (time.time() - t0) / reps
+    sps = nseq / dt
+
+    print(json.dumps({
+        "metric": "train_eval_seqs_per_sec_len100",
+        "value": round(sps, 2),
+        "unit": "seqs/s/chip",
+        "vs_baseline": round(sps / BASELINE_SEQS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

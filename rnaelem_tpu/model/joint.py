@@ -299,7 +299,7 @@ def _const_factors(cfg: ModelConfig, k: _Kernels, sd: SeqData, bp_ok,
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def bpp_posterior(cfg: ModelConfig, sd: SeqData):
+def _bpp_posterior_jit(cfg: ModelConfig, sd: SeqData):
     """Base-pair probabilities from the motif-free pass
     (energy_model.hpp:188-266): grad of logZ wrt the injected per-pair
     log-factor alphaP is exactly the pair posterior."""
@@ -321,7 +321,7 @@ def bpp_posterior(cfg: ModelConfig, sd: SeqData):
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def effective_bp_mask(cfg: ModelConfig, sd: SeqData):
+def _effective_bp_mask_jit(cfg: ModelConfig, sd: SeqData):
     """bp_ok after min-BPP pruning (or structure fixing); also returns
     bpp_eff = kept / candidate pairs (energy_model.hpp:211-266)."""
     k = kernels(cfg)
@@ -331,7 +331,7 @@ def effective_bp_mask(cfg: ModelConfig, sd: SeqData):
         return sd.rss_pair, sd.rss_pair.sum() / total
     if cfg.min_bpp <= 0 or cfg.no_rss:
         return bp0, jnp.asarray(1.0)
-    _, post, _ = bpp_posterior(cfg, sd)
+    _, post, _ = _bpp_posterior_jit(cfg, sd)
     keep = bp0 & (jnp.log(jnp.maximum(post, 1e-300))
                   >= np.log(cfg.min_bpp))
     return keep, keep.sum() / total
@@ -403,7 +403,7 @@ def factors(cfg: ModelConfig, params: Params, sd: SeqData, bp_ok,
 
 
 @functools.partial(jax.jit, static_argnums=(0, 5))
-def logZ_parts(cfg: ModelConfig, params: Params, sd: SeqData, aux=None,
+def _logZ_parts_jit(cfg: ModelConfig, params: Params, sd: SeqData, aux=None,
                bp_ok=None, with_eff=False):
     """[3] log partition parts at end states (0,0), (0,M-2), (0,M-1).
 
@@ -412,12 +412,12 @@ def logZ_parts(cfg: ModelConfig, params: Params, sd: SeqData, aux=None,
     """
     k = kernels(cfg)
     if cfg.no_rss:
-        lp = linear_parts(cfg, params, sd, aux)
+        lp = _linear_parts_jit(cfg, params, sd, aux)
         if with_eff:
             return lp, jnp.asarray(1.0)
         return lp
     if bp_ok is None:
-        bp_ok, eff = effective_bp_mask(cfg, sd)
+        bp_ok, eff = _effective_bp_mask_jit(cfg, sd)
     else:
         eff = jnp.asarray(1.0)
     d, c = factors(cfg, params, sd, bp_ok, aux)
@@ -428,7 +428,7 @@ def logZ_parts(cfg: ModelConfig, params: Params, sd: SeqData, aux=None,
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def linear_parts(cfg: ModelConfig, params: Params, sd: SeqData, aux=None):
+def _linear_parts_jit(cfg: ModelConfig, params: Params, sd: SeqData, aux=None):
     """no-rss mode: plain forward chain over O states
     (motif_model.hpp:170-190)."""
     k = kernels(cfg)
@@ -471,3 +471,30 @@ def part_func(parts, ari=True, nasi=True):
     """sumL over selected end states (motif_trainer.hpp:108-112)."""
     sel = jnp.asarray([nasi, ari, ari])
     return lse(jnp.where(sel, parts, NEG), axis=-1)
+
+
+def _warm(cfg: ModelConfig):
+    """Build kernels/constants eagerly: jnp arrays created while tracing
+    would leak tracers into the lru caches (see tests/conftest note)."""
+    kernels(cfg)
+
+
+def bpp_posterior(cfg: ModelConfig, sd: SeqData):
+    _warm(cfg)
+    return _bpp_posterior_jit(cfg, sd)
+
+
+def effective_bp_mask(cfg: ModelConfig, sd: SeqData):
+    _warm(cfg)
+    return _effective_bp_mask_jit(cfg, sd)
+
+
+def logZ_parts(cfg: ModelConfig, params: Params, sd: SeqData, aux=None,
+               bp_ok=None, with_eff=False):
+    _warm(cfg)
+    return _logZ_parts_jit(cfg, params, sd, aux, bp_ok, with_eff)
+
+
+def linear_parts(cfg: ModelConfig, params: Params, sd: SeqData, aux=None):
+    _warm(cfg)
+    return _linear_parts_jit(cfg, params, sd, aux)

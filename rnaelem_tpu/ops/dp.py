@@ -120,14 +120,25 @@ def _zero_cotangent(x):
     return np.zeros(x.shape, jax.dtypes.float0)
 
 
-def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64):
+def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64,
+             semiring: str = "sum"):
     """Build (dp_parts, inside_tables) for one compiled grammar + dims.
 
     dp_parts(diff, const) -> [3] log partition parts at inside_o(L, s) for
     end states (0,0), (0,M-2), (0,M-1) (motif_trainer.hpp:108-112).
     inside_tables(diff, const) -> full inside tables
     (LL, P, E, M, B, T1, T2, O).
+
+    semiring="max" turns the same recursion into the Viterbi/CYK DP
+    (motif_scanner.hpp:802-913); tracebacks recompute per-cell argmaxes
+    on the host from the returned tables (scan/cyk.py).
     """
+    if semiring == "max":
+        _lse = lambda x, axis=-1: jnp.max(x, axis=axis)
+        _logadd = jnp.maximum
+        _seg = lambda v, s, n: jax.ops.segment_max(v, s, num_segments=n)
+    else:
+        _lse, _logadd, _seg = lse, logadd, seg_lse
     gc = make_consts(g)
     Lp, Wp, Cp, S = dims.Lp, dims.Wp, dims.Cp, dims.S
     QC = min(dims.QC, max(1, len(gc["ep"])))
@@ -193,7 +204,7 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64):
             t = src[:, None, :] + c.TR[None, :, :]
             if aR is not None:
                 t = t + aR[None, :, :]
-            return lse(t, axis=-1) + eRrow[None, :]
+            return _lse(t, axis=-1) + eRrow[None, :]
 
         # U1: ST_L chain (motif_model.hpp:243-257)
         Lcol = chain(_shift_w(prevL, 1))
@@ -202,16 +213,16 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64):
 
         # U2: P (TT_P_E / TT_P_P)
         pem = pem_col(d, c, j, i_of_w)
-        a_pe = lse(pem + _shift_w(prevE, 2)[:, None, :], axis=-1)
-        a_pp = lse(pem + _shift_w(prevP, 2)[:, None, :], axis=-1)
-        Pcol = logadd(a_pe, a_pp + lam_mul(lamv[None, :],
+        a_pe = _lse(pem + _shift_w(prevE, 2)[:, None, :], axis=-1)
+        a_pp = _lse(pem + _shift_w(prevP, 2)[:, None, :], axis=-1)
+        Pcol = _logadd(a_pe, a_pp + lam_mul(lamv[None, :],
                                            c.stk[j][:, None]))
         Pcol = Pcol + d.alphaP[j][:, None]
         Pcol = mask_neg(Pcol, c.okP[j][:, None])
         Pt = Pt.at[j].set(Pcol)
 
         # U3: 2 (TT_2_2 / TT_2_P)
-        T2col = logadd(chain(_shift_w(prev2, 1)) + g_o2,
+        T2col = _logadd(chain(_shift_w(prev2, 1)) + g_o2,
                        Pcol + lam_mul(lamv[None, :], c.ml2[j][:, None]))
         T2col = mask_neg(T2col, c.okB[j][:, None])
         T2t = T2t.at[j].set(T2col)
@@ -223,12 +234,12 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64):
         X2 = T2col[jnp.clip(warr[:, None] - warr[None, :], 0, Wp)]
         Y = X1[:, :, b12_s1] + X2[:, :, b12_s2]
         Y = jnp.where(dk_ok[:, :, None], Y, NEG)
-        Bcol = seg_lse(lse(Y, axis=1).T, b12_s, S).T
+        Bcol = _seg(_lse(Y, axis=1).T, b12_s, S).T
         Bcol = mask_neg(Bcol, c.okB[j][:, None])
         Bt = Bt.at[j].set(Bcol)
 
         # U5: 1 (TT_1_2 / TT_1_B)
-        T1col = mask_neg(logadd(T2col, Bcol), c.okB[j][:, None])
+        T1col = mask_neg(_logadd(T2col, Bcol), c.okB[j][:, None])
         T1t = T1t.at[j].set(T1col)
 
         # U6: M chain (TT_M_M / TT_M_B), sequential in w ascending
@@ -239,7 +250,7 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64):
             t = mprev[None, :] + c.TL + eLrow[None, :] + gM
             if dims.with_aux:
                 t = t + aux_row(d.auxL, i)
-            cur = logadd(Bcol[w], lse(t, axis=-1))
+            cur = _logadd(Bcol[w], _lse(t, axis=-1))
             cur = mask_neg(cur, c.okM[j][w])
             return cur, cur
 
@@ -274,12 +285,12 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64):
             ll3 = LLr[None, None, :, q_s3]           # [1, 1, dl, QC]
             ilq = lam_mul(lamq[None, None, None, :], il[..., None])
             term = pk + ll2 + ll3 + ilq + q_m
-            red = lse(term.reshape(Wp + 1, -1, QC), axis=1)
-            return logadd(acc, seg_lse(red.T, q_s, S).T)
+            red = _lse(term.reshape(Wp + 1, -1, QC), axis=1)
+            return _logadd(acc, _seg(red.T, q_s, S).T)
 
         ep_term = jax.lax.fori_loop(
             0, NQCH, ep_chunk, jnp.full((Wp + 1, S), NEG, dtype))
-        Ecol = logadd(logadd(hterm, mterm), ep_term)
+        Ecol = _logadd(_logadd(hterm, mterm), ep_term)
         Ecol = mask_neg(Ecol, c.okE[j][:, None])
         Et = Et.at[j].set(Ecol)
 
@@ -287,14 +298,14 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64):
         t = prevO[None, :] + c.TR
         if aR is not None:
             t = t + aR
-        oo = lse(t, axis=-1) + eRrow + g_o2
+        oo = _lse(t, axis=-1) + eRrow + g_o2
         Orows = Ot[jnp.clip(j - warr, 0, Lp)]        # [w', S]
         base = Orows[:, None, :] + Pcol[:, :, None]  # [w', s1, s2]
         D = jnp.stack([
-            lse(base + lam_mul(d.lam[b], c.ext[j])[:, None, None], axis=0)
+            _lse(base + lam_mul(d.lam[b], c.ext[j])[:, None, None], axis=0)
             for b in range(2)])                      # [2, S, S]
-        op_term = seg_lse(D[bucket[op_s], op_s1, op_s2], op_s, S)
-        Ocol = logadd(oo, op_term)
+        op_term = _seg(D[bucket[op_s], op_s1, op_s2], op_s, S)
+        Ocol = _logadd(oo, op_term)
         Ot = Ot.at[j].set(Ocol)
 
         return (LLt, Pt, Et, Mt, Bt, T1t, T2t, Ot)

@@ -1,0 +1,378 @@
+"""Viterbi/CYK alignment of structure + motif states, with traceback.
+
+The max-semiring twin of the inside DP (CYKFun, motif_scanner.hpp:802-913)
+runs on device via ops/dp.py with semiring="max" and the start/end pins
+(Ys, Ye) expressed as -inf aux vetoes; the traceback
+(motif_scanner.hpp:262-362) runs on host, re-deriving each cell's argmax
+from the returned tables — no trace tensors need to be stored on device.
+
+Tie-breaking: the reference keeps the first strictly-greater candidate in
+its sequential evaluation order; we enumerate candidates in the same
+order (P_E before P_P, split points in loop order, O_O last) so
+tracebacks agree except for exactly-equal-score alternatives that differ
+only in motif-state enumeration order.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..model import joint as J
+from ..ops import dp as DP
+
+NEG = -np.inf
+# energy-state ids for the host traceback stack
+LLs, Ps, Es, Ms, Bs, S1s, S2s, Os = range(8)
+
+
+@functools.lru_cache(maxsize=32)
+def _cyk_kernel(cfg: J.ModelConfig):
+    k = J.kernels(cfg)
+    _, tables = DP.build_dp(k.g, k.dims, k.tab,
+                            jnp.dtype(cfg.dtype), semiring="max")
+    return jax.jit(tables)
+
+
+def _pin_aux(cfg, g, m, Ys, Ye, L, dtype):
+    """CYKFun's Ys/Ye vetoes as aux tensors (motif_scanner.hpp:839-873)."""
+    Lp, S = cfg.Lp, g.S
+    pos = jnp.arange(Lp)[:, None, None]
+
+    def pin(allow_start, allow_end, tail=None):
+        a = jnp.zeros((Lp, S, S), dtype)
+        a = jnp.where(pos == Ys,
+                      jnp.where(allow_start[None], 0.0, NEG), a)
+        a = a + jnp.where(pos == Ye,
+                          jnp.where(allow_end[None], 0.0, NEG), 0.0)
+        if tail is not None:
+            # (j == ye and L == j): only target.r == M-2 survives at the
+            # final emitted base
+            cond = (pos == L - 1) & (Ye == L)
+            a = a + jnp.where(cond, jnp.where(tail[None], 0.0, NEG), 0.0)
+        return a
+
+    return dict(
+        auxR=pin(m.r_start, m.r_end, m.r_tail),
+        auxL=pin(m.l_start, m.l_end),
+        auxPL=pin(m.pl_start, m.pl_end),
+        auxPR=pin(m.pr_start, m.pr_end, m.pr_tail),
+    )
+
+
+def cyk_tables(cfg: J.ModelConfig, params: J.Params, sd: J.SeqData,
+               Ys, Ye):
+    from .scanner import state_masks
+    J.kernels(cfg)
+    state_masks(cfg)
+    _cyk_kernel(cfg)
+    return _cyk_tables_jit(cfg, params, sd, Ys, Ye)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _cyk_tables_jit(cfg: J.ModelConfig, params: J.Params, sd: J.SeqData,
+                    Ys, Ye):
+    from .scanner import state_masks
+    assert cfg.with_aux
+    k = J.kernels(cfg)
+    m = state_masks(cfg)
+    dtype = jnp.dtype(cfg.dtype)
+    bp_ok, _ = J._effective_bp_mask_jit(cfg, sd)
+    aux = _pin_aux(cfg, k.g, m, Ys, Ye, sd.L, dtype)
+    d, c = J.factors(cfg, params, sd, bp_ok, aux)
+    tabs = _cyk_kernel(cfg)(d, c)
+    return tabs, d, c
+
+
+@dataclasses.dataclass
+class _Host:
+    """Host-side candidate scorer over numpy-fied tables/factors."""
+    cfg: J.ModelConfig
+    g: object
+    tabs: tuple
+    d: object
+    c: object
+    il_cache: dict
+
+    def __post_init__(self):
+        n = lambda x: np.asarray(x)
+        (self.LL, self.P, self.E, self.M, self.B,
+         self.T1, self.T2, self.O) = [n(t) for t in self.tabs]
+        self.eR = n(self.d.eR)
+        self.eL = n(self.d.eL)
+        self.bg2 = n(self.d.bg2)
+        self.pv = n(self.d.pv)
+        self.lam = n(self.d.lam)
+        self.auxR = n(self.d.auxR)
+        self.auxL = n(self.d.auxL)
+        self.auxPL = n(self.d.auxPL)
+        self.auxPR = n(self.d.auxPR)
+        self.wsp = n(self.c.wsp)
+        self.TR = n(self.c.TR)
+        self.TL = n(self.c.TL)
+        self.TPm = n(self.c.TPm)
+        for f in ("hp", "stk", "ext", "ml2", "mlE"):
+            setattr(self, f, n(getattr(self.c, f)))
+        self.gate = n(self.c.gate_O2)
+        self.C = int(self.c.C)
+        self.L = int(self.c.L)
+        g = self.g
+        self.lamv = self.lam[g.lam_bucket]
+        self.ptab = np.maximum(g.pair_table_index[g.pt_tab], 0)
+
+    def lam_mul(self, s, tsc):
+        return NEG if tsc == NEG else self.lamv[s] * tsc
+
+    def table(self, e):
+        return (self.LL, self.P, self.E, self.M, self.B,
+                self.T1, self.T2)[e]
+
+    def pem(self, i, j, s, s1):
+        """Pair emission for target s at (i,j), source s1."""
+        g = self.g
+        if not g.pt[s, s1]:
+            return NEG
+        if g.pt_isbp[s, s1]:
+            v = self.pv[j, j - i, self.ptab[s, s1]]
+            if g.pt_wl[s, s1]:
+                v += self.wsp[i]
+            if g.pt_wr[s, s1]:
+                v += self.wsp[j - 1]
+        else:
+            v = self.bg2[i] + self.bg2[j - 1]
+        v += self.TPm[s, s1] if g.pt_tau[s, s1] else 0.0
+        v += self.auxPL[i, s, s1] + self.auxPR[j - 1, s, s1]
+        return v
+
+    def il(self, j):
+        if j not in self.il_cache:
+            from ..energy.tables import iloop_scores
+            from ..model.joint import kernels
+            k = kernels(self.cfg)
+            self.il_cache[j] = np.asarray(iloop_scores(
+                k.tab, self.c.seq, j, self.cfg.Wp, self.cfg.Cp,
+                self.c.C, self.cfg.no_ene,
+                self.c.dots_cum if self.cfg.fix_rss else None))
+        return self.il_cache[j]
+
+
+def _candidates(h: _Host, e: int, i: int, j: int, s: int):
+    """Candidate (score, action) list for one cell, in the reference's
+    evaluation order.  Actions are (tt, payload) consumed by traceback."""
+    g = h.g
+    S = g.S
+    w = j - i
+    out: List[Tuple[float, tuple]] = []
+
+    if e == Os:
+        # TT_O_OP for split i' descending, then TT_O_O
+        for isp in range(j - 1, max(-1, j - h.cfg.Wp + 0) - 1, -1):
+            wp = j - isp
+            if wp > h.cfg.Wp:
+                continue
+            for (ts, s1, s2) in g.op_tuples:
+                if ts != s:
+                    continue
+                sc = (h.O[isp, s2] + h.P[j, wp, s1]
+                      + h.lam_mul(s, h.ext[j, wp]))
+                out.append((sc, ("O_OP", isp, s1, s2)))
+        if j > 0:
+            for s1 in range(S):
+                if not g.rt[s, s1]:
+                    continue
+                sc = (h.O[j - 1, s1] + h.TR[s, s1] + h.eR[j - 1, s]
+                      + h.gate[j - 1] + h.auxR[j - 1, s, s1])
+                out.append((sc, ("O_O", s1)))
+        return out
+
+    if e == LLs:
+        for s1 in range(S):
+            if not g.rt[s, s1]:
+                continue
+            sc = (h.LL[j - 1, w - 1, s1] + h.TR[s, s1]
+                  + h.eR[j - 1, s] + h.auxR[j - 1, s, s1])
+            out.append((sc, ("L_L", s1)))
+        return out
+
+    if e == Ps:
+        for s1 in range(S):
+            pe = h.pem(i, j, s, s1)
+            if pe == NEG:
+                continue
+            sc = h.E[j - 1, w - 2, s1] + pe
+            out.append((sc, ("P_E", s1)))
+            sc = (h.P[j - 1, w - 2, s1] + pe
+                  + h.lam_mul(s, h.stk[j, w]))
+            out.append((sc, ("P_P", s1)))
+        return out
+
+    if e == S2s:
+        for s1 in range(S):
+            if not g.rt[s, s1]:
+                continue
+            sc = (h.T2[j - 1, w - 1, s1] + h.TR[s, s1]
+                  + h.eR[j - 1, s] + h.gate[j - 1]
+                  + h.auxR[j - 1, s, s1])
+            out.append((sc, ("2_2", s1)))
+        out.append((h.P[j, w, s] + h.lam_mul(s, h.ml2[j, w]),
+                    ("2_P",)))
+        return out
+
+    if e == S1s:
+        out.append((h.T2[j, w, s], ("1_2",)))
+        out.append((h.B[j, w, s], ("1_B",)))
+        return out
+
+    if e == Bs:
+        for k in range(i + 1, j):
+            for (ts, s1, s2) in g.b12_tuples:
+                if ts != s:
+                    continue
+                sc = h.T1[k, k - i, s1] + h.T2[j, j - k, s2]
+                out.append((sc, ("B_12", k, s1, s2)))
+        return out
+
+    if e == Ms:
+        for s1 in range(S):
+            if not g.lt[s, s1]:
+                continue
+            sc = (h.M[j, w - 1, s1] + h.TL[s, s1] + h.eL[i, s1]
+                  + h.gate[i] + h.auxL[i, s, s1])
+            out.append((sc, ("M_M", s1)))
+        out.append((h.B[j, w, s], ("M_B",)))
+        return out
+
+    if e == Es:
+        if g.loop_mask[s]:
+            out.append((h.LL[j, w, s] + h.lam_mul(s, h.hp[j, w]),
+                        ("E_H",)))
+        out.append((h.M[j, w, s] + h.lam_mul(s, h.mlE[j, w]),
+                    ("E_M",)))
+        il = h.il(j)
+        for dl in range(0, min(h.cfg.Cp, w) + 1):
+            l = j - dl
+            for dk in range(0, min(h.cfg.Cp, w - dl) + 1):
+                if dk == 0 and dl == 0:
+                    continue
+                tsc = il[w, dk, dl]
+                if tsc == NEG:
+                    continue
+                k = i + dk
+                for (ts, s1, s2, s3) in g.ep_tuples:
+                    if ts != s:
+                        continue
+                    sc = (h.P[l, l - k, s1] + h.LL[k, dk, s2]
+                          + h.LL[j, dl, s3] + h.lamv[s] * tsc)
+                    out.append((sc, ("E_P", k, l, s1, s2, s3)))
+        return out
+
+    raise AssertionError(e)
+
+
+def traceback(cfg: J.ModelConfig, tabs, d, c) -> Tuple[np.ndarray, str]:
+    """Returns (cyk_state_path [L], cyk_structure_path string)."""
+    g = J.kernels(cfg).g
+    h = _Host(cfg, g, tuple(tabs), d, c, {})
+    L = h.L
+    state_path = np.zeros(L, np.int64)
+    struct = [" "] * L
+    n2s = g.n2s
+
+    # end state choice (motif_scanner.hpp:176-183)
+    sA, sB = int(g.end_states[1]), int(g.end_states[2])
+    s0 = sB if h.O[L, sA] < h.O[L, sB] else sA
+
+    stack = [(0, L, Os, s0)]
+    guard = 0
+    while stack:
+        guard += 1
+        if guard > 40 * (L + 2):
+            raise RuntimeError("cyk traceback did not terminate")
+        i, j, e, s = stack.pop()
+        if e == LLs and j <= i:
+            continue
+        if e == Os and j <= 0:
+            continue
+        cands = _candidates(h, e, i, j, s)
+        if not cands:
+            continue
+        scores = np.array([sc for sc, _ in cands])
+        act = cands[int(np.argmax(scores))][1]
+        tt = act[0]
+        sl, sr = g.state_l, g.state_r
+
+        if tt == "L_L":
+            state_path[j - 1] = sr[s]
+            stack.append((i, j - 1, LLs, act[1]))
+        elif tt == "O_O":
+            state_path[j - 1] = sr[s]
+            struct[j - 1] = "O"
+            stack.append((0, j - 1, Os, act[1]))
+        elif tt == "2_2":
+            state_path[j - 1] = sr[s]
+            struct[j - 1] = "M"
+            stack.append((i, j - 1, S2s, act[1]))
+        elif tt == "E_H":
+            for p in range(i, j):
+                struct[p] = "H"
+            stack.append((i, j, LLs, s))
+        elif tt == "E_M":
+            stack.append((i, j, Ms, s))
+        elif tt == "M_B":
+            stack.append((i, j, Bs, s))
+        elif tt == "2_P":
+            stack.append((i, j, Ps, s))
+        elif tt == "1_2":
+            stack.append((i, j, S2s, s))
+        elif tt == "1_B":
+            stack.append((i, j, Bs, s))
+        elif tt in ("P_E", "P_P"):
+            s1 = act[1]
+            state_path[i] = sl[s1]
+            struct[i] = "L"
+            state_path[j - 1] = sr[s]
+            struct[j - 1] = "R"
+            stack.append((i + 1, j - 1, Es if tt == "P_E" else Ps, s1))
+        elif tt == "O_OP":
+            _, isp, s1, s2 = act
+            stack.append((isp, j, Ps, s1))
+            stack.append((0, isp, Os, s2))
+        elif tt == "E_P":
+            _, k, l, s1, s2, s3 = act
+            if l == j:
+                for p in range(i, k):
+                    struct[p] = "B"
+            elif k == i:
+                for p in range(l, j):
+                    struct[p] = "B"
+            else:
+                for p in range(i, k):
+                    struct[p] = "I"
+                for p in range(l, j):
+                    struct[p] = "I"
+            stack.append((l, j, LLs, s3))
+            stack.append((i, k, LLs, s2))
+            stack.append((k, l, Ps, s1))
+        elif tt == "B_12":
+            _, k, s1, s2 = act
+            stack.append((k, j, S2s, s2))
+            stack.append((i, k, S1s, s1))
+        elif tt == "M_M":
+            s1 = act[1]
+            state_path[i] = sl[s1]
+            struct[i] = "M"
+            stack.append((i + 1, j, Ms, s1))
+        else:
+            raise AssertionError(tt)
+    return state_path, "".join(struct)
+
+
+def viterbi_alignment(cfg: J.ModelConfig, params: J.Params, sd: J.SeqData,
+                      Ys: int, Ye: int):
+    tabs, d, c = cyk_tables(cfg, params, sd, jnp.asarray(Ys),
+                            jnp.asarray(Ye))
+    return traceback(cfg, tabs, d, c)

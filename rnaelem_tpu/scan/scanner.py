@@ -88,26 +88,33 @@ def _argmax_last(v):
     return n - 1 - jnp.argmax(v[::-1])
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
 def scan_posteriors(cfg: J.ModelConfig, params: J.Params, sd: J.SeqData):
     """Per-read posteriors + E[N] contribution + Ys/Ye.
 
     Returns dict with Pys [Lp], Pye [Lp+1], Pyi [Lp], PyN, Z, Ys, Ye,
     EN (Params-shaped gradients), all linear-space probabilities.
     """
+    J.kernels(cfg)
+    state_masks(cfg)
+    return _scan_posteriors_jit(cfg, params, sd)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _scan_posteriors_jit(cfg: J.ModelConfig, params: J.Params,
+                         sd: J.SeqData):
     assert cfg.with_aux
     k = J.kernels(cfg)
     g = k.g
     dtype = jnp.dtype(cfg.dtype)
     m = state_masks(cfg)
-    bp_ok, eff = J.effective_bp_mask(cfg, sd)
+    bp_ok, eff = J._effective_bp_mask_jit(cfg, sd)
 
     def z_all_fn(aux, p):
-        parts = J.logZ_parts(cfg, p, sd, aux=aux, bp_ok=bp_ok)
+        parts = J._logZ_parts_jit(cfg, p, sd, aux, bp_ok, False)
         return lse(parts, axis=-1), parts
 
     aux0 = _aux_zeros(cfg, g, dtype)
-    (z, parts), vjp, = jax.vjp(z_all_fn, aux0, params, has_aux=True)
+    z, vjp, parts = jax.vjp(z_all_fn, aux0, params, has_aux=True)
     (gaux, gparams) = vjp(jnp.ones((), dtype))
 
     Pys = (_masked_sum(gaux["auxR"], m.r_start)
@@ -134,7 +141,7 @@ def scan_posteriors(cfg: J.ModelConfig, params: J.Params, sd: J.SeqData):
                    auxPL=at(m.pl_start), auxPR=at(m.pr_start))
 
     def ze_fn(aux):
-        parts = J.logZ_parts(cfg, params, sd, aux=aux, bp_ok=bp_ok)
+        parts = J._logZ_parts_jit(cfg, params, sd, aux, bp_ok, False)
         return lse(parts, axis=-1)
 
     ze, vjpe = jax.vjp(ze_fn, aux_end)
