@@ -49,6 +49,7 @@ def make_sharded_fn_grad(cfg: J.ModelConfig, mesh: Mesh,
         jax.shard_map, mesh=mesh,
         in_specs=(P(), jax.tree.map(lambda _: P("data"), _batch_spec())),
         out_specs=(P(), P(), P()),
+        check_vma=False,
     )
     def step(params, batch):
         def total(p):
