@@ -282,6 +282,8 @@ def _const_factors(cfg: ModelConfig, k: _Kernels, sd: SeqData, bp_ok,
         gate = jnp.zeros((Lp,), dtype)
     S = 1 if null else k.g.S
     g = k.gnull if null else k.g
+    from ..ops import ep_fast as EPF
+    ep = EPF.seq_tables(tab, sd.seq, Lp, Wp, cfg.no_ene, dtype)
     ltau = np.log(cfg.tau) if cfg.tau > 0 else -np.inf
     TR = jnp.asarray(np.where(g.rt, np.where(g.rt_tau, ltau, 0.0),
                               -np.inf), dtype)
@@ -295,7 +297,7 @@ def _const_factors(cfg: ModelConfig, k: _Kernels, sd: SeqData, bp_ok,
         ml2=ml2.astype(dtype), mlE=mlE.astype(dtype),
         okP=okP, okE=okE, okM=okM, okB=okB,
         gate_O2=gate, gate_M=gate, seq=sd.seq, C=C, L=L,
-        dots_cum=dots_cum)
+        dots_cum=dots_cum, ep=ep)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))

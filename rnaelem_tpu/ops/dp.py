@@ -34,6 +34,7 @@ import numpy as np
 
 from .semiring import NEG, lse, logadd, lam_mul, mask_neg, seg_lse
 from ..energy.tables import iloop_scores
+from . import ep_fast as EPF
 
 
 class Dims(NamedTuple):
@@ -83,6 +84,7 @@ class ConstFactors(NamedTuple):
     C: jnp.ndarray        # scalar max internal loop width
     L: jnp.ndarray        # scalar true length
     dots_cum: jnp.ndarray  # [Lp+1]
+    ep: dict              # factorized internal-loop tables (ep_fast)
 
 
 def make_consts(g):
@@ -111,6 +113,62 @@ def _shift_w(A, k: int):
     """src[w] = A[w-k] along the leading (band) axis, -inf filled."""
     pad = jnp.full((k,) + A.shape[1:], NEG, A.dtype)
     return jnp.concatenate([pad, A[:-k]], axis=0)
+
+
+def _flip_rows(T, j, nrows: int):
+    """F[r] = T[j - r] for r = 0..nrows-1 (pad + slice + flip)."""
+    pad = jnp.full((nrows,) + T.shape[1:], NEG, T.dtype)
+    Tp = jnp.concatenate([pad, T], axis=0)
+    blk = jax.lax.dynamic_slice_in_dim(Tp, j + 1, nrows, axis=0)
+    return blk[::-1]
+
+
+def _mchain_assoc(Tmats, bvecs):
+    """Solve x_w = (T_w o x_{w-1}) ⊕ b_w in the log semiring with x_-1
+    = -inf, via an associative scan of affine maps in exp space with
+    per-element shifts (matmuls run on the MXU instead of a 51-step
+    sequential inner loop).  Returns x [W+1, S].
+
+    Tmats: [W+1, S, S] log transition factors (target, source);
+    bvecs:  [W+1, S] log source terms.
+    """
+    dtype = Tmats.dtype
+    tiny = jnp.finfo(dtype).tiny
+
+    msh = jax.lax.stop_gradient(jnp.max(Tmats, axis=(-2, -1)))
+    msh = jnp.where(jnp.isfinite(msh), msh, 0.0)
+    E = jnp.exp(Tmats - msh[:, None, None])
+    vsh = jax.lax.stop_gradient(jnp.max(bvecs, axis=-1))
+    vsh = jnp.where(jnp.isfinite(vsh), vsh, 0.0)
+    ev = jnp.exp(bvecs - vsh[:, None])
+
+    def combine(a, b):
+        Ea, sha, eva, vsha = a
+        Eb, shb, evb, vshb = b
+        Ec = jnp.einsum("...ij,...jk->...ik", Eb, Ea,
+                        preferred_element_type=dtype)
+        shc = sha + shb
+        m = jax.lax.stop_gradient(jnp.max(Ec, axis=(-2, -1)))
+        m = jnp.where(m > 0, m, 1.0)
+        Ec = Ec / m[..., None, None]
+        shc = shc + jnp.log(m)
+        # v_c = b_b ⊕ (T_b o v_a)
+        tv = jnp.einsum("...ij,...j->...i", Eb, eva,
+                        preferred_element_type=dtype)
+        base = jnp.maximum(vshb, shb + vsha)
+        base = jnp.where(jnp.isfinite(base), base, 0.0)
+        evc = evb * jnp.exp(vshb - base)[..., None] \
+            + tv * jnp.exp(shb + vsha - base)[..., None]
+        mv = jax.lax.stop_gradient(jnp.max(evc, axis=-1))
+        mv = jnp.where(mv > 0, mv, 1.0)
+        evc = evc / mv[..., None]
+        vshc = base + jnp.log(mv)
+        return (Ec, shc, evc, vshc)
+
+    Ec, shc, evc, vshc = jax.lax.associative_scan(
+        combine, (E, msh, ev, vsh), axis=0)
+    return jnp.where(evc > 0, vshc[:, None]
+                     + jnp.log(jnp.maximum(evc, tiny)), NEG)
 
 
 def _zero_cotangent(x):
@@ -165,6 +223,15 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64,
     warr = jnp.arange(Wp + 1)
     dlarr = jnp.arange(Cp + 1)
     diag_col = jnp.where(diag, 0.0, NEG).astype(dtype)
+
+    if semiring == "sum":
+        energy_np = {k: np.asarray(v) for k, v in energy_tab.items()
+                     if k in ("internal", "ninio", "bulge")}
+        ep_static = EPF.build_ep_static(g, Cp, energy_np, dims.no_ene)
+        ep_term_fast = EPF.make_ep_term(g, dims, energy_tab, ep_static,
+                                        dtype)
+    else:
+        ep_term_fast = None
 
     def aux_row(aux, p):
         return aux[jnp.clip(p, 0, Lp - 1)]
@@ -228,8 +295,11 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64,
         T2t = T2t.at[j].set(T2col)
 
         # U4: B (TT_B_12): B(i,j) = sum_k 1(i,k) * 2(k,j)
-        rows_k = jnp.clip(j - warr[:, None] + warr[None, :], 0, Lp)
-        X1 = T1t[rows_k, warr[None, :], :]      # [w, dk, S]
+        # X1[w, dk] = T1[j-(w-dk), dk]: flip block + static-index shear
+        T1F = _flip_rows(T1t, j, Wp + 1)        # [m, dk, S]
+        mw_idx = jnp.clip(warr[:, None, None] - warr[None, :, None],
+                          0, Wp)                # [w, dk, 1]
+        X1 = jnp.take_along_axis(T1F, mw_idx, axis=0)  # [w, dk, S]
         dk_ok = (warr[None, :] >= 1) & (warr[None, :] <= warr[:, None] - 1)
         X2 = T2col[jnp.clip(warr[:, None] - warr[None, :], 0, Wp)]
         Y = X1[:, :, b12_s1] + X2[:, :, b12_s2]
@@ -242,19 +312,29 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64,
         T1col = mask_neg(_logadd(T2col, Bcol), c.okB[j][:, None])
         T1t = T1t.at[j].set(T1col)
 
-        # U6: M chain (TT_M_M / TT_M_B), sequential in w ascending
-        def m_step(mprev, w):
-            i = j - w
-            eLrow = d.eL[jnp.clip(i, 0, Lp - 1)]
-            gM = c.gate_M[jnp.clip(i, 0, Lp - 1)]
-            t = mprev[None, :] + c.TL + eLrow[None, :] + gM
-            if dims.with_aux:
-                t = t + aux_row(d.auxL, i)
-            cur = _logadd(Bcol[w], _lse(t, axis=-1))
-            cur = mask_neg(cur, c.okM[j][w])
-            return cur, cur
+        # U6: M chain (TT_M_M / TT_M_B): affine recurrence over w,
+        # solved with a log-depth associative scan (MXU matmuls) in the
+        # sum semiring; the max semiring keeps the sequential loop
+        # (CYK runs per read, off the training hot path).
+        iw = jnp.clip(j - warr, 0, Lp - 1)
+        eLrows = d.eL[iw]                        # [w, S]
+        gMs = c.gate_M[iw]                       # [w]
+        Tmats = c.TL[None, :, :] + eLrows[:, None, :] \
+            + gMs[:, None, None]
+        if dims.with_aux:
+            Tmats = Tmats + d.auxL[iw]
+        Tmats = mask_neg(Tmats, c.okM[j][:, None, None])
+        bvecs = mask_neg(Bcol, c.okM[j][:, None])
+        if semiring == "max":
+            def m_step(mprev, w):
+                cur = _logadd(bvecs[w],
+                              _lse(mprev[None, :] + Tmats[w], axis=-1))
+                return cur, cur
 
-        _, Mcol = jax.lax.scan(m_step, jnp.full((S,), NEG, dtype), warr)
+            _, Mcol = jax.lax.scan(
+                m_step, jnp.full((S,), NEG, dtype), warr)
+        else:
+            Mcol = _mchain_assoc(Tmats, bvecs)
         Mt = Mt.at[j].set(Mcol)
 
         # U7: E (TT_E_H / TT_E_M / TT_E_P)
@@ -263,33 +343,38 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64,
                           NEG)
         mterm = Mcol + lam_mul(lamv[None, :], c.mlE[j][:, None])
 
-        il = iloop_scores(energy_tab, c.seq, j, Wp, Cp, c.C, dims.no_ene,
-                          c.dots_cum if dims.fix_rss else None)
-        PK = Pt[jnp.clip(j - dlarr, 0, Lp)]          # [dl, v, S]
-        rows_ik = jnp.clip(j - warr[:, None] + dlarr[None, :], 0, Lp)
-        LLik = LLt[rows_ik, dlarr[None, :], :]       # [w, dk, S]
-        LLr = Lcol[: Cp + 1]                         # [dl, S]
-        v = warr[:, None, None] - dlarr[None, :, None] - dlarr[None, None, :]
-        vc = jnp.clip(v, 0, Wp)
+        if ep_term_fast is not None:
+            ep_term = ep_term_fast(d, c, j, Pt, LLt, Lcol)
+        else:
+            il = iloop_scores(
+                energy_tab, c.seq, j, Wp, Cp, c.C, dims.no_ene,
+                c.dots_cum if dims.fix_rss else None)
+            PK = Pt[jnp.clip(j - dlarr, 0, Lp)]      # [dl, v, S]
+            rows_ik = jnp.clip(j - warr[:, None] + dlarr[None, :], 0, Lp)
+            LLik = LLt[rows_ik, dlarr[None, :], :]   # [w, dk, S]
+            LLr = Lcol[: Cp + 1]                     # [dl, S]
+            v = warr[:, None, None] - dlarr[None, :, None] \
+                - dlarr[None, None, :]
+            vc = jnp.clip(v, 0, Wp)
 
-        def ep_chunk(cidx, acc):
-            q_s = jax.lax.dynamic_slice(ep_s, (cidx * QC,), (QC,))
-            q_s1 = jax.lax.dynamic_slice(ep_s1, (cidx * QC,), (QC,))
-            q_s2 = jax.lax.dynamic_slice(ep_s2, (cidx * QC,), (QC,))
-            q_s3 = jax.lax.dynamic_slice(ep_s3, (cidx * QC,), (QC,))
-            q_m = jax.lax.dynamic_slice(ep_qmask, (cidx * QC,), (QC,))
-            lamq = d.lam[bucket[q_s]]
-            pk = PK[dlarr[None, None, :, None], vc[..., None],
-                    q_s1[None, None, None, :]]       # [w, dk, dl, QC]
-            ll2 = LLik[:, :, None, q_s2]             # [w, dk, 1, QC]
-            ll3 = LLr[None, None, :, q_s3]           # [1, 1, dl, QC]
-            ilq = lam_mul(lamq[None, None, None, :], il[..., None])
-            term = pk + ll2 + ll3 + ilq + q_m
-            red = _lse(term.reshape(Wp + 1, -1, QC), axis=1)
-            return _logadd(acc, _seg(red.T, q_s, S).T)
+            def ep_chunk(cidx, acc):
+                q_s = jax.lax.dynamic_slice(ep_s, (cidx * QC,), (QC,))
+                q_s1 = jax.lax.dynamic_slice(ep_s1, (cidx * QC,), (QC,))
+                q_s2 = jax.lax.dynamic_slice(ep_s2, (cidx * QC,), (QC,))
+                q_s3 = jax.lax.dynamic_slice(ep_s3, (cidx * QC,), (QC,))
+                q_m = jax.lax.dynamic_slice(ep_qmask, (cidx * QC,), (QC,))
+                lamq = d.lam[bucket[q_s]]
+                pk = PK[dlarr[None, None, :, None], vc[..., None],
+                        q_s1[None, None, None, :]]   # [w, dk, dl, QC]
+                ll2 = LLik[:, :, None, q_s2]         # [w, dk, 1, QC]
+                ll3 = LLr[None, None, :, q_s3]       # [1, 1, dl, QC]
+                ilq = lam_mul(lamq[None, None, None, :], il[..., None])
+                term = pk + ll2 + ll3 + ilq + q_m
+                red = _lse(term.reshape(Wp + 1, -1, QC), axis=1)
+                return _logadd(acc, _seg(red.T, q_s, S).T)
 
-        ep_term = jax.lax.fori_loop(
-            0, NQCH, ep_chunk, jnp.full((Wp + 1, S), NEG, dtype))
+            ep_term = jax.lax.fori_loop(
+                0, NQCH, ep_chunk, jnp.full((Wp + 1, S), NEG, dtype))
         Ecol = _logadd(_logadd(hterm, mterm), ep_term)
         Ecol = mask_neg(Ecol, c.okE[j][:, None])
         Et = Et.at[j].set(Ecol)
@@ -299,7 +384,7 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64,
         if aR is not None:
             t = t + aR
         oo = _lse(t, axis=-1) + eRrow + g_o2
-        Orows = Ot[jnp.clip(j - warr, 0, Lp)]        # [w', S]
+        Orows = _flip_rows(Ot, j, Wp + 1)            # [w', S]
         base = Orows[:, None, :] + Pcol[:, :, None]  # [w', s1, s2]
         D = jnp.stack([
             _lse(base + lam_mul(d.lam[b], c.ext[j])[:, None, None], axis=0)

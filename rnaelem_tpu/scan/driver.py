@@ -75,7 +75,7 @@ class Scanner:
             EN_pairs += np.asarray(res["EN"].pairs)
 
             if cfg.no_rss:
-                psihat = self._nors_path(res, L)
+                psihat = _chain_viterbi(cfg, params, sd, Ys, Ye, L)
                 rss = "O" * L
             else:
                 psihat, rss = CYK.viterbi_alignment(
@@ -109,9 +109,53 @@ class Scanner:
         print("E[N]:", en_str, file=log)
         print("scan end:", time.time() - t0, file=log)
 
-    def _nors_path(self, res, L):
-        # no-rss mode has no CYK in the reference scanner either; derive
-        # psihat from the start/end argmax region greedily
-        Ys, Ye = int(res["Ys"]), int(res["Ye"])
-        path = np.zeros(L, np.int64)
-        return path
+def _chain_viterbi(cfg, params, sd, Ys, Ye, L):
+    """no-rss Viterbi: max-semiring forward chain over O states with the
+    Ys/Ye pins, traced back on host (compute_inside no-rss branch +
+    CYKFun, motif_model.hpp:170-190 / motif_scanner.hpp:830-873)."""
+    import dataclasses as dc
+    from ..scan.scanner import state_masks
+
+    g = J.kernels(cfg).g
+    S = g.S
+    th = J.effective_theta(cfg, params)
+    base = np.asarray(sd.seq)
+    b1 = np.clip(base - 1, 0, 3)
+    sidx = g.single_table_index[g.tid_r]
+    singles = np.asarray(th.singles)
+    eR = np.where((base > 0)[:, None] & (not cfg.no_prf),
+                  singles[sidx[None, :], b1[:, None]], 0.0)
+    eR = eR + np.where(np.asarray(g.ws_r)[None, :],
+                       np.asarray(sd.ws)[:, None], 0.0)
+    ltau = np.log(cfg.tau) if cfg.tau > 0 else -np.inf
+    TR = np.where(g.rt, np.where(g.rt_tau, ltau, 0.0), -np.inf)
+    m = state_masks(cfg)
+    r_start = np.asarray(m.r_start)
+    r_end = np.asarray(m.r_end)
+    r_tail = np.asarray(m.r_tail)
+
+    def allow(p):
+        a = np.zeros((S, S))
+        if p == Ys:
+            a = np.where(r_start, 0.0, -np.inf)
+        if p == Ye:
+            a = a + np.where(r_end, 0.0, -np.inf)
+        if Ye == L and p == L - 1:
+            a = a + np.where(r_tail, 0.0, -np.inf)
+        return a
+
+    NEGI = -np.inf
+    v = np.full(S, NEGI)
+    v[g.end_states[0]] = 0.0
+    back = np.zeros((L, S), np.int64)
+    for p in range(L):
+        t = v[None, :] + TR + eR[p][None, :] + allow(p)
+        back[p] = np.argmax(t, axis=1)
+        v = t[np.arange(S), back[p]]
+    ends = [g.end_states[1], g.end_states[2]]
+    s = ends[1] if v[ends[0]] < v[ends[1]] else ends[0]
+    path = np.zeros(L, np.int64)
+    for p in range(L - 1, -1, -1):
+        path[p] = g.state_r[s]
+        s = back[p, s]
+    return path

@@ -36,6 +36,11 @@ class BatchData(NamedTuple):
     is_neg: jnp.ndarray      # [B] bool: shuffled negative (weaker skip
     #                           check, motif_trainer.hpp:236)
     valid: jnp.ndarray       # [B] bool (padding rows in a batch)
+    bp_ok: jnp.ndarray       # [B, Lp+1, Wp+1] min-BPP pruning masks —
+    #   parameter-independent, so computed once per sequence instead of
+    #   per evaluation (the reference recomputes them every visit,
+    #   energy_model.hpp:268-276; identical semantics, ~2x cheaper)
+    eff: jnp.ndarray         # [B] bpp_eff per read
 
 
 def stack_reads(cfg: J.ModelConfig, reads, negatives=None) -> BatchData:
@@ -59,18 +64,35 @@ def stack_reads(cfg: J.ModelConfig, reads, negatives=None) -> BatchData:
         sign.append(1.0)
         neg.append(True)
     sd = jax.tree.map(lambda *xs: jnp.stack(xs), *sds)
+    bp_ok, eff = batch_bp_masks(cfg, sd)
     return BatchData(
         sd=sd,
         restrict_ari=jnp.asarray(ari),
         lik_sign=jnp.asarray(sign, jnp.dtype(cfg.dtype)),
         is_neg=jnp.asarray(neg),
         valid=jnp.ones(len(sds), bool),
+        bp_ok=bp_ok,
+        eff=eff,
     )
 
 
+def batch_bp_masks(cfg: J.ModelConfig, sd_batch):
+    """Vectorized min-BPP pruning masks for a stacked SeqData batch."""
+    J.kernels(cfg)
+    return _batch_bp_masks_jit(cfg, sd_batch)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _batch_bp_masks_jit(cfg, sd_batch):
+    return jax.vmap(lambda sd: J._effective_bp_mask_jit(cfg, sd))(sd_batch)
+
+
 def _read_f(cfg, params, sd, restrict_ari, lik_sign, is_neg,
-            lik_ratio: bool):
-    parts, eff = J.logZ_parts(cfg, params, sd, with_eff=True)
+            lik_ratio: bool, bp_ok=None, eff=None):
+    if bp_ok is None:
+        parts, eff = J.logZ_parts(cfg, params, sd, with_eff=True)
+    else:
+        parts = J._logZ_parts_jit(cfg, params, sd, None, bp_ok, False)
     z_all = lse(parts, axis=-1)
     z_ari = lse(jnp.where(jnp.asarray([False, True, True]), parts, NEG),
                 axis=-1)
@@ -95,9 +117,10 @@ def batch_fn_grad(cfg: J.ModelConfig, params: J.Params, batch: BatchData,
 
     def total(p):
         f, eff = jax.vmap(
-            lambda sd, ra, sg, ng: _read_f(cfg, p, sd, ra, sg, ng,
-                                           lik_ratio)
-        )(batch.sd, batch.restrict_ari, batch.lik_sign, batch.is_neg)
+            lambda sd, ra, sg, ng, bk, ef: _read_f(
+                cfg, p, sd, ra, sg, ng, lik_ratio, bk, ef)
+        )(batch.sd, batch.restrict_ari, batch.lik_sign, batch.is_neg,
+          batch.bp_ok, batch.eff)
         f = jnp.where(batch.valid, f, 0.0)
         eff = jnp.where(batch.valid, eff, 0.0)
         return f.sum(), eff.sum()

@@ -37,7 +37,7 @@ def vec(s):
                      s.strip()[1:-1].split(",") if v])
 
 
-@pytest.mark.parametrize("x", ["0", "1"])
+@pytest.mark.parametrize("x", ["0", "1", "2", "3"])
 def test_scan_matches_reference(x):
     cfg, params = MIO.read_model(os.path.join(FIX, f"{x}.model"), Lp=45)
     buf = io.StringIO()
