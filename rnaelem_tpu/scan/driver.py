@@ -149,7 +149,8 @@ def _chain_viterbi(cfg, params, sd, Ys, Ye, L):
     v[g.end_states[0]] = 0.0
     back = np.zeros((L, S), np.int64)
     for p in range(L):
-        t = v[None, :] + TR + eR[p][None, :] + allow(p)
+        # t[s, s1]: target-state s emits base p through node s.r
+        t = v[None, :] + TR + eR[p][:, None] + allow(p)
         back[p] = np.argmax(t, axis=1)
         v = t[np.arange(S), back[p]]
     ends = [g.end_states[1], g.end_states[2]]

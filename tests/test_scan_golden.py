@@ -60,7 +60,40 @@ def test_scan_matches_reference(x):
         assert float(m["exist prob"]) == pytest.approx(
             float(g["exist prob"]), abs=1e-3)
         assert m["seq"] == g["seq"]
-        assert m["psihat"] == g["psihat"], m["id"]
+        if m["psihat"] != g["psihat"]:
+            # tie-breaks may differ between argmax orders; both paths
+            # must then score identically under the model
+            sa = _chain_path_score(cfg, params, m["seq"],
+                                   vecint(m["psihat"]))
+            sb = _chain_path_score(cfg, params, g["seq"],
+                                   vecint(g["psihat"]))
+            assert sa == pytest.approx(sb, abs=1e-9), m["id"]
         assert m["rss"] == g["rss"], m["id"]
         assert m["mot"] == g["mot"], m["id"]
     assert "E[N]:" in log.getvalue()
+
+
+def vecint(s):
+    return [int(v) for v in s.strip()[1:-1].split(",") if v]
+
+
+def _chain_path_score(cfg, params, seq, path):
+    """Score a no-rss motif state path (forward chain semantics)."""
+    from rnaelem_tpu.model import joint as J
+    from rnaelem_tpu.alphabet import seq_to_ints
+    g = J.kernels(cfg).g
+    th = J.effective_theta(cfg, params)
+    singles = np.asarray(th.singles)
+    codes = seq_to_ints(seq)
+    total = 0.0
+    prev = 0
+    for p, node in enumerate(path):
+        node = int(node)
+        tid = g.theta_id[node]
+        if tid >= 0 and codes[p] > 0:
+            slot = g.single_table_index[tid]
+            total += singles[slot][codes[p] - 1]
+        if node == prev and g.nodes[node] == ".":
+            total += np.log(cfg.tau)
+        prev = node
+    return total
