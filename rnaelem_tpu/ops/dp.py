@@ -312,29 +312,63 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64,
         T1col = mask_neg(_logadd(T2col, Bcol), c.okB[j][:, None])
         T1t = T1t.at[j].set(T1col)
 
-        # U6: M chain (TT_M_M / TT_M_B): affine recurrence over w,
-        # solved with a log-depth associative scan (MXU matmuls) in the
-        # sum semiring; the max semiring keeps the sequential loop
-        # (CYK runs per read, off the training hot path).
+        # U6: M chain (TT_M_M / TT_M_B): sequential affine recurrence
+        # x_w = mask_w((TL o (x_{w-1} + eL_w + gate_w)) ⊕ B_w); the
+        # transition matrix is shared, so each step moves only [S]
+        # vectors — run in 8-step unrolled chunks to amortize loop
+        # overhead.
         iw = jnp.clip(j - warr, 0, Lp - 1)
-        eLrows = d.eL[iw]                        # [w, S]
+        eLrows = d.eL[iw]                        # [w, S] source-indexed
         gMs = c.gate_M[iw]                       # [w]
-        Tmats = c.TL[None, :, :] + eLrows[:, None, :] \
-            + gMs[:, None, None]
-        if dims.with_aux:
-            Tmats = Tmats + d.auxL[iw]
-        Tmats = mask_neg(Tmats, c.okM[j][:, None, None])
         bvecs = mask_neg(Bcol, c.okM[j][:, None])
-        if semiring == "max":
-            def m_step(mprev, w):
-                cur = _logadd(bvecs[w],
-                              _lse(mprev[None, :] + Tmats[w], axis=-1))
-                return cur, cur
+        okMj = c.okM[j]
+        auxLrows = d.auxL[iw] if dims.with_aux else None
 
-            _, Mcol = jax.lax.scan(
-                m_step, jnp.full((S,), NEG, dtype), warr)
+        UN = 8
+        npad = (-(Wp + 1)) % UN
+
+        def padw(x, fill):
+            return jnp.concatenate(
+                [x, jnp.full((npad,) + x.shape[1:], fill, x.dtype)], 0)
+
+        eLp = padw(eLrows, NEG)
+        gMp = padw(gMs, NEG)
+        bvp = padw(bvecs, NEG)
+        okp = padw(okMj, False)
+        nblk = (Wp + 1 + npad) // UN
+        rs = lambda x: x.reshape((nblk, UN) + x.shape[1:])
+
+        if dims.with_aux:
+            auxp = rs(padw(auxLrows, 0.0))
+
+            def blk_step(x, blk):
+                eb, gb, bb, ob, ab = blk
+                outs = []
+                for t in range(UN):
+                    ch = _lse(x[None, :] + c.TL + eb[t][None, :]
+                              + gb[t] + ab[t], axis=-1)
+                    x = mask_neg(_logadd(bb[t], ch), ob[t])
+                    outs.append(x)
+                return x, jnp.stack(outs)
+
+            _, Mblk = jax.lax.scan(
+                blk_step, jnp.full((S,), NEG, dtype),
+                (rs(eLp), rs(gMp), rs(bvp), rs(okp), auxp))
         else:
-            Mcol = _mchain_assoc(Tmats, bvecs)
+            def blk_step(x, blk):
+                eb, gb, bb, ob = blk
+                outs = []
+                for t in range(UN):
+                    ch = _lse(x[None, :] + c.TL + eb[t][None, :]
+                              + gb[t], axis=-1)
+                    x = mask_neg(_logadd(bb[t], ch), ob[t])
+                    outs.append(x)
+                return x, jnp.stack(outs)
+
+            _, Mblk = jax.lax.scan(
+                blk_step, jnp.full((S,), NEG, dtype),
+                (rs(eLp), rs(gMp), rs(bvp), rs(okp)))
+        Mcol = Mblk.reshape(-1, S)[: Wp + 1]
         Mt = Mt.at[j].set(Mcol)
 
         # U7: E (TT_E_H / TT_E_M / TT_E_P)
