@@ -219,7 +219,24 @@ def do_genneg(args):
             out.write(f">iter:{i};seq:{cnt};orig:\"{r.id}\"\n{neg}\n")
 
 
+def _setup_jax_cache():
+    """Persistent XLA compilation cache: kernels are specialized per
+    (pattern, bucket) and reused across processes/pipeline tasks."""
+    import jax
+    cache = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "rnaelem_jax"))
+    os.makedirs(cache, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main(argv=None):
+    _setup_jax_cache()
     args = build_parser().parse_args(argv)
     if args.mode in ("normal", "train"):
         if args.seq_fname == "~NONE~":

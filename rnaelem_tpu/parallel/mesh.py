@@ -31,9 +31,10 @@ def data_mesh(devices=None) -> Mesh:
 
 def _local_total(cfg, lik_ratio, p, batch):
     f, eff = jax.vmap(
-        lambda sd, ra, sg, ng: OBJ._read_f(cfg, p, sd, ra, sg, ng,
-                                           lik_ratio)
-    )(batch.sd, batch.restrict_ari, batch.lik_sign, batch.is_neg)
+        lambda sd, ra, sg, ng, bk, ef: OBJ._read_f(
+            cfg, p, sd, ra, sg, ng, lik_ratio, bk, ef)
+    )(batch.sd, batch.restrict_ari, batch.lik_sign, batch.is_neg,
+      batch.bp_ok, batch.eff)
     f = jnp.where(batch.valid, f, 0.0)
     eff = jnp.where(batch.valid, eff, 0.0)
     return f.sum(), eff.sum()
@@ -78,7 +79,7 @@ def _batch_spec():
     # structural template for in_specs over BatchData
     return OBJ.BatchData(
         sd=J.SeqData(seq=0, ws=0, L=0, has_motif=0, rss_pair=0, dots=0),
-        restrict_ari=0, lik_sign=0, is_neg=0, valid=0)
+        restrict_ari=0, lik_sign=0, is_neg=0, valid=0, bp_ok=0, eff=0)
 
 
 def pad_batch(batch: OBJ.BatchData, multiple: int) -> OBJ.BatchData:

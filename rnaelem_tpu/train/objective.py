@@ -43,28 +43,55 @@ class BatchData(NamedTuple):
     eff: jnp.ndarray         # [B] bpp_eff per read
 
 
-def stack_reads(cfg: J.ModelConfig, reads, negatives=None) -> BatchData:
+def stack_reads(cfg: J.ModelConfig, reads, negatives=None,
+                bp_cache: dict = None) -> BatchData:
     """Host-side: pack reads (+ optional shuffled negatives) into a batch.
 
     reads: list of (seq_codes, quals) tuples. negatives: list of
     seq_codes (quality all zero, restricted to motif-absent,
-    motif_trainer.hpp:228-245).
+    motif_trainer.hpp:228-245).  bp_cache (optional, mutated): maps
+    id(seq_codes) -> (bp_ok, eff); pruning masks are
+    parameter-independent so positives need them computed only once.
     """
-    sds, ari, sign, neg = [], [], [], []
+    sds, ari, sign, neg, keys = [], [], [], [], []
     for seq, quals in reads:
         sd = J.make_seqdata(cfg, seq, quals)
         sds.append(sd)
         ari.append(bool(sd.has_motif))
         sign.append(-1.0 if bool(sd.has_motif) else 1.0)
         neg.append(False)
+        keys.append(id(seq))
     for seq in negatives or []:
         q = np.zeros(len(seq) + 1, np.int64)
         sds.append(J.make_seqdata(cfg, seq, q))
         ari.append(False)
         sign.append(1.0)
         neg.append(True)
+        keys.append(None)
     sd = jax.tree.map(lambda *xs: jnp.stack(xs), *sds)
-    bp_ok, eff = batch_bp_masks(cfg, sd)
+
+    if bp_cache is None:
+        bp_ok, eff = batch_bp_masks(cfg, sd)
+    else:
+        miss = [i for i, k in enumerate(keys)
+                if k is None or k not in bp_cache]
+        Lp, Wp = cfg.Lp, cfg.Wp
+        bp_np = np.zeros((len(sds), Lp + 1, Wp + 1), bool)
+        eff_np = np.zeros(len(sds))
+        if miss:
+            sub = jax.tree.map(lambda *xs: jnp.stack(xs),
+                               *[sds[i] for i in miss])
+            mb, me = batch_bp_masks(cfg, sub)
+            mb, me = np.asarray(mb), np.asarray(me)
+            for t, i in enumerate(miss):
+                bp_np[i], eff_np[i] = mb[t], me[t]
+                if keys[i] is not None:
+                    bp_cache[keys[i]] = (mb[t], float(me[t]))
+        for i, k in enumerate(keys):
+            if k is not None and k in bp_cache and i not in miss:
+                bp_np[i], eff_np[i] = bp_cache[k]
+        bp_ok, eff = jnp.asarray(bp_np), jnp.asarray(eff_np)
+
     return BatchData(
         sd=sd,
         restrict_ari=jnp.asarray(ari),
@@ -129,15 +156,28 @@ def batch_fn_grad(cfg: J.ModelConfig, params: J.Params, batch: BatchData,
     return fn, grads, eff
 
 
+def assigned_range(N: int, n: int, tid: int):
+    """Balanced contiguous slice for distributed eval slaves
+    (arrayjob_manager.hpp:143-151); tid is 0-based here."""
+    base, rem = divmod(N, n)
+    start = tid * base + min(tid, rem)
+    return start, start + base + (1 if tid < rem else 0)
+
+
 def eval_file(cfg: J.ModelConfig, params: J.Params, fq_path: str,
-              lik_ratio: bool = False, batch_size: int = 0):
+              lik_ratio: bool = False, batch_size: int = 0,
+              shard=None):
     """Full-file fn/gr evaluation (motif_eval.hpp:23-54, no-shuffle).
 
-    Returns (fn, flat_grad_in_reference_pack_order, sum_eff).
+    shard=(tid, n) restricts to the tid-th of n contiguous slices (the
+    array-eval slave path).  Returns (fn, flat_grad, sum_eff).
     """
     from ..io.fastq import FastqReader
     qr = FastqReader(fq_path)
     reads = [(r.seq, r.qual) for r in qr.reads()]
+    if shard is not None:
+        lo, hi = assigned_range(len(reads), shard[1], shard[0])
+        reads = reads[lo:hi]
     g = J.kernels(cfg).g
     fn_total, eff_total = 0.0, 0.0
     acc = None

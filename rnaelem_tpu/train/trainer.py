@@ -103,8 +103,11 @@ class Trainer:
                 s = ints_to_seq(r.seq)
                 negs.append(seq_to_ints(
                     negative_for(s, self.kmer_shuf, iter_cnt)))
+        if not hasattr(self, "_bp_cache"):
+            self._bp_cache = {}
         batch = OBJ.stack_reads(self.cfg, reads,
-                                negs if not self.no_shuffle else None)
+                                negs if not self.no_shuffle else None,
+                                bp_cache=self._bp_cache)
         fn, grads, eff = OBJ.batch_fn_grad(
             self.cfg, self.params, batch, self.lik_ratio)
         fn = float(fn)
