@@ -313,62 +313,28 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64,
         T1t = T1t.at[j].set(T1col)
 
         # U6: M chain (TT_M_M / TT_M_B): sequential affine recurrence
-        # x_w = mask_w((TL o (x_{w-1} + eL_w + gate_w)) ⊕ B_w); the
-        # transition matrix is shared, so each step moves only [S]
-        # vectors — run in 8-step unrolled chunks to amortize loop
-        # overhead.
+        # with the shared transition matrix (vector-only traffic per
+        # step; motif_model.hpp:346-366)
         iw = jnp.clip(j - warr, 0, Lp - 1)
         eLrows = d.eL[iw]                        # [w, S] source-indexed
-        gMs = c.gate_M[iw]                       # [w]
+        gMs = c.gate_M[iw]
         bvecs = mask_neg(Bcol, c.okM[j][:, None])
         okMj = c.okM[j]
         auxLrows = d.auxL[iw] if dims.with_aux else None
 
-        UN = 8
-        npad = (-(Wp + 1)) % UN
-
-        def padw(x, fill):
-            return jnp.concatenate(
-                [x, jnp.full((npad,) + x.shape[1:], fill, x.dtype)], 0)
-
-        eLp = padw(eLrows, NEG)
-        gMp = padw(gMs, NEG)
-        bvp = padw(bvecs, NEG)
-        okp = padw(okMj, False)
-        nblk = (Wp + 1 + npad) // UN
-        rs = lambda x: x.reshape((nblk, UN) + x.shape[1:])
-
-        if dims.with_aux:
-            auxp = rs(padw(auxLrows, 0.0))
-
-            def blk_step(x, blk):
+        def m_step(x, blk):
+            if dims.with_aux:
                 eb, gb, bb, ob, ab = blk
-                outs = []
-                for t in range(UN):
-                    ch = _lse(x[None, :] + c.TL + eb[t][None, :]
-                              + gb[t] + ab[t], axis=-1)
-                    x = mask_neg(_logadd(bb[t], ch), ob[t])
-                    outs.append(x)
-                return x, jnp.stack(outs)
-
-            _, Mblk = jax.lax.scan(
-                blk_step, jnp.full((S,), NEG, dtype),
-                (rs(eLp), rs(gMp), rs(bvp), rs(okp), auxp))
-        else:
-            def blk_step(x, blk):
+                t = x[None, :] + c.TL + eb[None, :] + gb + ab
+            else:
                 eb, gb, bb, ob = blk
-                outs = []
-                for t in range(UN):
-                    ch = _lse(x[None, :] + c.TL + eb[t][None, :]
-                              + gb[t], axis=-1)
-                    x = mask_neg(_logadd(bb[t], ch), ob[t])
-                    outs.append(x)
-                return x, jnp.stack(outs)
+                t = x[None, :] + c.TL + eb[None, :] + gb
+            cur = mask_neg(_logadd(bb, _lse(t, axis=-1)), ob)
+            return cur, cur
 
-            _, Mblk = jax.lax.scan(
-                blk_step, jnp.full((S,), NEG, dtype),
-                (rs(eLp), rs(gMp), rs(bvp), rs(okp)))
-        Mcol = Mblk.reshape(-1, S)[: Wp + 1]
+        xs = (eLrows, gMs, bvecs, okMj) if not dims.with_aux else \
+            (eLrows, gMs, bvecs, okMj, auxLrows)
+        _, Mcol = jax.lax.scan(m_step, jnp.full((S,), NEG, dtype), xs)
         Mt = Mt.at[j].set(Mcol)
 
         # U7: E (TT_E_H / TT_E_M / TT_E_P)
