@@ -20,8 +20,23 @@ import numpy as np
 BASELINE_SEQS_PER_SEC = 9.48  # reference single-core (BASELINE.md)
 
 
+def _setup_jax_cache():
+    import jax
+    cache = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "rnaelem_jax"))
+    os.makedirs(cache, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main():
     import jax
+    _setup_jax_cache()
     from rnaelem_tpu.alphabet import seq_to_ints
     from rnaelem_tpu.model import joint as J
     from rnaelem_tpu.train import objective as OBJ
@@ -42,8 +57,11 @@ def main():
     batch = OBJ.stack_reads(cfg, reads)
 
     # compile + warmup
+    t0 = time.time()
     fn, grads, eff = OBJ.batch_fn_grad(cfg, params, batch)
     jax.block_until_ready(grads)
+    print("warmup (compile) took %.1fs" % (time.time() - t0),
+          file=sys.stderr)
 
     reps = 5
     t0 = time.time()
