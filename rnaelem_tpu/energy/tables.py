@@ -94,16 +94,10 @@ def band_grids(Lp: int, Wp: int):
     return j, w
 
 
-def pair_mask(tab, seq, L, W, turn: int):
-    """bp_ok from complementarity + band + hairpin turn
-    (energy_model.hpp:211-218): mask[j, w] <=> pair (i=j-w, j-1) allowed."""
-    Lp = seq.shape[0]
-    Wp = min(Lp, 10**9)
-    j, w = band_grids(Lp, seq.shape[0])  # placeholder; unused
-    raise NotImplementedError  # replaced by pair_mask_jw below
-
-
 def pair_mask_jw(tab, seq, L, W, Wp: int, turn: int):
+    """bp_ok from complementarity + band + hairpin turn
+    (energy_model.hpp:211-218): mask[j, w] <=> pair (i=j-w, j-1)
+    allowed."""
     Lp = seq.shape[0]
     j = jnp.arange(Lp + 1)[:, None]
     w = jnp.arange(Wp + 1)[None, :]

@@ -42,12 +42,22 @@ class FastqReader:
 
     def open(self, fname: str):
         self._ids, self._seqs, self._quals = [], [], []
-        with open(fname) as f:
-            while True:
-                rid = f.readline().rstrip("\n")
-                seq = f.readline().rstrip("\n")
-                plus = f.readline()
-                qual = f.readline().rstrip("\n")
+        from ..native import fastq_index_native
+        with open(fname, "rb") as f:
+            data = f.read()
+        idx = fastq_index_native(data)
+        if idx is not None:
+            buf = np.frombuffer(data, np.uint8)
+            for io, il, so, sl, qo, ql in idx:
+                self._ids.append(data[io:io + il].decode("ascii"))
+                self._seqs.append(
+                    seq_to_ints(data[so:so + sl].decode("ascii")))
+                self._quals.append(
+                    buf[qo:qo + ql].astype(np.int64) - self._base)
+        else:
+            lines = data.decode("ascii").split("\n")
+            for k in range(0, len(lines) - 3, 4):
+                rid, seq, plus, qual = lines[k:k + 4]
                 if not qual or not plus:
                     break
                 self._ids.append(rid)

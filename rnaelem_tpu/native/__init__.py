@@ -48,6 +48,27 @@ def lib():
     return _lib
 
 
+def fastq_index_native(data: bytes):
+    """Index a FASTQ byte buffer natively.
+
+    Returns an [nrec, 6] int64 array of (id_off, id_len, seq_off,
+    seq_len, qual_off, qual_len), or None if the native lib is
+    unavailable.
+    """
+    L = lib()
+    if L is None:
+        return None
+    import numpy as np
+    cap = data.count(b"\n") // 4 + 2
+    out = np.zeros((cap, 6), np.int64)
+    n = L.fastq_index(data, len(data),
+                      out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                      cap)
+    if n < 0:
+        return None
+    return out[:n]
+
+
 def klet_shuffle_native(seq: str, k: int, seed: int):
     """Returns shuffled string or None if the native lib is unavailable."""
     L = lib()

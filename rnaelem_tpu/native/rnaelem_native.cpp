@@ -10,6 +10,7 @@
 //
 // Build: see build_native.py (plain g++, no external deps).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <random>

@@ -63,6 +63,8 @@ def make_sharded_fn_grad(cfg: J.ModelConfig, mesh: Mesh,
         grads = jax.tree.map(lambda g: jax.lax.psum(g, "data"), grads)
         return fn, grads, eff
 
+    step_jit = jax.jit(step)  # traced once per batch shape, not per call
+
     def run(params, batch: OBJ.BatchData):
         nd = mesh.devices.size
         batch = pad_batch(batch, nd)
@@ -70,7 +72,7 @@ def make_sharded_fn_grad(cfg: J.ModelConfig, mesh: Mesh,
         batch = jax.tree.map(
             lambda x: jax.device_put(x, sharding), batch)
         params = jax.device_put(params, NamedSharding(mesh, P()))
-        return jax.jit(step)(params, batch)
+        return step_jit(params, batch)
 
     return run
 

@@ -240,14 +240,19 @@ def gen_cv_summary(elem_out):
         for k in folds:
             for pi in range(1, len(pats) + 1):
                 llik, auc = 0.0, 0.5
+                # exist prob can saturate to exactly 0/1 (a converged
+                # motif); clamp before log so one record cannot abort
+                # the fold like the reference's bare log does
+                # (script/elem:283-287)
+                clamp = lambda p: min(max(p, 1e-300), 1.0 - 1e-16)
                 try:
                     base = f"{elem_out}/cv-{k}/test/pattern-{pi}"
                     for r in parse_raw(f"{base}/positive.raw"):
-                        llik += math.log(float(r["exist prob"]))
+                        llik += math.log(clamp(float(r["exist prob"])))
                     if os.path.exists(f"{base}/negative.raw"):
                         for r in parse_raw(f"{base}/negative.raw"):
                             llik += math.log(
-                                1 - float(r["exist prob"]))
+                                1 - clamp(float(r["exist prob"])))
                         auc = calc_auc_raw(f"{base}/positive.raw",
                                            f"{base}/negative.raw")
                 except Exception as e:
@@ -259,13 +264,21 @@ def gen_cv_summary(elem_out):
 
 def run_select(elem_out, num_motifs, **_):
     gen_cv_summary(elem_out)
-    rows = []
+    rows, all_rows = [], []
     for line in open(f"{elem_out}/cv"):
         k, pi, llik, auc = line.split("\t")
         llik = float(llik)
-        if not (llik < 0) or math.isnan(llik):
+        if math.isnan(llik):
             continue
-        rows.append((k, pi, llik, float(auc)))
+        all_rows.append((k, pi, llik, float(auc)))
+        if llik < 0:
+            rows.append((k, pi, llik, float(auc)))
+    if not rows:
+        # every fold degenerate (llik == 0, e.g. saturated exist probs):
+        # fall back to ranking all folds by AUC rather than selecting
+        # nothing (the reference's awk filter would write an empty
+        # select.txt here, script/elem:405)
+        rows = all_rows
     by_pat = {}
     for k, pi, llik, auc in rows:
         by_pat.setdefault(pi, []).append((k, llik, auc))

@@ -98,9 +98,19 @@ def klet_shuffle(seq: str, k: int, rng: np.random.RandomState) -> str:
 
 def negative_for(seq: str, k: int, iter_cnt: int) -> str:
     """Deterministic shuffled negative for a read: seed =
-    count(first base) + iteration (motif_trainer.hpp:145-152)."""
+    count(first base) + iteration (motif_trainer.hpp:145-152).
+
+    Runs the native C++ Euler-walk when available (the trainer calls
+    this per read per epoch); the Python walk above is the always-
+    available fallback and the semantic reference.  Both are
+    deterministic in the seed; their pseudo-random streams differ.
+    """
     if not seq:
         return seq
     seed = seq.count(seq[0]) + iter_cnt
+    from ..native import klet_shuffle_native
+    out = klet_shuffle_native(seq, k, seed & 0x7FFFFFFF)
+    if out is not None:
+        return out
     rng = np.random.RandomState(seed & 0x7FFFFFFF)
     return klet_shuffle(seq, k, rng)

@@ -50,7 +50,7 @@ def stack_reads(cfg: J.ModelConfig, reads, negatives=None,
     reads: list of (seq_codes, quals) tuples. negatives: list of
     seq_codes (quality all zero, restricted to motif-absent,
     motif_trainer.hpp:228-245).  bp_cache (optional, mutated): maps
-    id(seq_codes) -> (bp_ok, eff); pruning masks are
+    sequence content bytes -> (bp_ok, eff); pruning masks are
     parameter-independent so positives need them computed only once.
     """
     sds, ari, sign, neg, keys = [], [], [], [], []
@@ -60,7 +60,7 @@ def stack_reads(cfg: J.ModelConfig, reads, negatives=None,
         ari.append(bool(sd.has_motif))
         sign.append(-1.0 if bool(sd.has_motif) else 1.0)
         neg.append(False)
-        keys.append(id(seq))
+        keys.append(np.asarray(seq).tobytes())
     for seq in negatives or []:
         q = np.zeros(len(seq) + 1, np.int64)
         sds.append(J.make_seqdata(cfg, seq, q))

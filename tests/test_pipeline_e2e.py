@@ -33,7 +33,6 @@ def test_elem_init_train_select(tmp_path):
     env = dict(os.environ)
     env["PALLAS_AXON_POOL_IPS"] = ""
     env["JAX_PLATFORMS"] = "cpu"
-    env["RNAELEM_TEST_FAST"] = "1"
 
     def run(args):
         r = subprocess.run(
