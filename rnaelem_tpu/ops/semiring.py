@@ -52,6 +52,25 @@ def mask_neg(x, mask):
     return jnp.where(mask, x, NEG)
 
 
+def shear(A, J: int, fill=NEG):
+    """Skew read Y[d, j] = A[d, j - d] without a gather.
+
+    A: [D, R, ...tail] -> Y: [D, J, ...tail]; out-of-range (j < d or
+    j - d >= R) filled with `fill`.  Implemented as pad + leading-dims
+    reshape + slice, which TPUs execute as cheap copies — unlike
+    take_along_axis, which lowers to a serialized gather (measured 50x
+    slower for the DP's band-sized shears).
+    """
+    D, R = A.shape[0], A.shape[1]
+    tail = A.shape[2:]
+    K = R + max(D, J - R + 1)
+    M2 = jnp.pad(A, ((0, 0), (0, K - R)) + ((0, 0),) * len(tail),
+                 constant_values=fill)
+    flat = M2.reshape((D * K,) + tail)
+    Y = flat[: D * (K - 1)].reshape((D, K - 1) + tail)
+    return Y[:, :J]
+
+
 def seg_lse(values, segments, num_segments):
     """Segment-wise logsumexp along the leading axis of `values`.
 

@@ -8,6 +8,9 @@ import os
 # before this conftest runs, so setting the env var alone is not enough:
 # force the platform through the config API and drop any live backends.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# the axon TPU plugin can hang in discovery when the tunnel is busy, even
+# under JAX_PLATFORMS=cpu; an empty pool disables it
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
