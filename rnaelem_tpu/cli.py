@@ -238,6 +238,9 @@ def _setup_jax_cache():
 def main(argv=None):
     _setup_jax_cache()
     args = build_parser().parse_args(argv)
+    if (args.dtype or _default_dtype()) == "float64":
+        import jax
+        jax.config.update("jax_enable_x64", True)
     if args.mode in ("normal", "train"):
         if args.seq_fname == "~NONE~":
             raise SystemExit("require input filename (sequence)")

@@ -9,6 +9,11 @@ theta = s - logsumexp(s) (profile_hmm.hpp:103-111).
 Emission tables are stored as two dense banks — ``singles [n_single, 4]``
 and ``pairs [n_pair, 6]`` — indexed through the grammar's table maps, so
 lookups are plain gathers on device.
+
+The production sum-semiring DP (ops/dp.py) is natively BATCHED with a
+trailing batch axis; ``batch_logZ_parts`` is the primary entry point and
+the per-read ``logZ_parts`` is a B=1 wrapper.  The max-semiring CYK twin
+(ops/dp_max.py) keeps the per-read factor layout via ``factors``.
 """
 from __future__ import annotations
 
@@ -25,6 +30,7 @@ from ..energy import params as EPARAMS
 from ..energy import tables as ET
 from ..grammar.profile import Grammar, compile_pattern, null_grammar
 from ..ops import dp as DP
+from ..ops import dp_max as DPM
 from ..ops.semiring import NEG, lse, mask_neg
 
 
@@ -58,7 +64,6 @@ class ModelConfig:
     lambda_prior: float = -1.0
     s_prior: float = 0.0
     dtype: str = "float64"
-    qc_chunk: int = 48
 
     @property
     def Wp(self) -> int:
@@ -178,10 +183,11 @@ def effective_theta(cfg: ModelConfig, p: Params) -> Params:
 class _Kernels(NamedTuple):
     g: Grammar
     gnull: Grammar
-    dp_parts: object
+    dp_parts: object          # batched sum-semiring DP
     inside_tables: object
     dp_parts_null: object
     dims: DP.Dims
+    dims_max: DPM.Dims        # per-read layout for the CYK twin
     tab: dict
 
 
@@ -191,17 +197,22 @@ def kernels(cfg: ModelConfig) -> _Kernels:
     gn = null_grammar()
     dtype = jnp.dtype(cfg.dtype)
     tab = ET.device_tables(cfg.energy, dtype)
+    ltau = float(np.log(cfg.tau)) if cfg.tau > 0 else -np.inf
     dims = DP.Dims(Lp=cfg.Lp, Wp=cfg.Wp, Cp=cfg.Cp, S=g.S,
-                   QC=cfg.qc_chunk, no_ene=cfg.no_ene,
-                   fix_rss=cfg.fix_rss, with_aux=cfg.with_aux)
+                   no_ene=cfg.no_ene, fix_rss=cfg.fix_rss,
+                   with_aux=cfg.with_aux, ltau=ltau)
     dp_parts, inside_tables = DP.build_dp(g, dims, tab, dtype)
-    dims_n = DP.Dims(Lp=cfg.Lp, Wp=cfg.Wp, Cp=cfg.Cp, S=1, QC=1,
+    dims_n = DP.Dims(Lp=cfg.Lp, Wp=cfg.Wp, Cp=cfg.Cp, S=1,
                      no_ene=cfg.no_ene, fix_rss=cfg.fix_rss,
-                     with_aux=False)
+                     with_aux=False, ltau=ltau)
     dp_parts_null, _ = DP.build_dp(gn, dims_n, tab, dtype)
+    dims_max = DPM.Dims(Lp=cfg.Lp, Wp=cfg.Wp, Cp=cfg.Cp, S=g.S,
+                        QC=48, no_ene=cfg.no_ene, fix_rss=cfg.fix_rss,
+                        with_aux=cfg.with_aux)
     return _Kernels(g=g, gnull=gn, dp_parts=dp_parts,
                     inside_tables=inside_tables,
-                    dp_parts_null=dp_parts_null, dims=dims, tab=tab)
+                    dp_parts_null=dp_parts_null, dims=dims,
+                    dims_max=dims_max, tab=tab)
 
 
 def _band_masks(cfg: ModelConfig, k: _Kernels, sd: SeqData, bp_ok):
@@ -240,22 +251,10 @@ def _complementary_bp(cfg: ModelConfig, k, sd: SeqData):
     return (i >= 0) & (w >= wmin) & (w <= W) & (j <= L) & (t > 0)
 
 
-def _null_factors(cfg: ModelConfig, k: _Kernels, sd: SeqData, bp_ok,
-                  dtype):
-    """Factors for the motif-free McCaskill pass (BPP pruning)."""
-    Lp, Wp = cfg.Lp, cfg.Wp
-    zeros1 = jnp.zeros((Lp,), dtype)
-    d = DP.DiffFactors(
-        eR=jnp.zeros((Lp, 1), dtype), eL=jnp.zeros((Lp, 1), dtype),
-        bg2=zeros1, pv=jnp.zeros((Lp + 1, Wp + 1, 1), dtype),
-        lam=jnp.ones((2,), dtype),
-        alphaP=jnp.zeros((Lp + 1, Wp + 1), dtype))
-    c = _const_factors(cfg, k, sd, bp_ok, dtype, null=True)
-    return d, c
-
-
-def _const_factors(cfg: ModelConfig, k: _Kernels, sd: SeqData, bp_ok,
-                   dtype, null=False):
+def _const_factors_single(cfg: ModelConfig, k: _Kernels, sd: SeqData,
+                          bp_ok, dtype, null=False):
+    """Per-read constants in the dp_max (CYK) layout, incl. the grammar
+    transition matrices the host traceback reads."""
     Lp, Wp = cfg.Lp, cfg.Wp
     okP, okE, okM, okB = _band_masks(cfg, k, sd, bp_ok)
     L = sd.L
@@ -280,7 +279,6 @@ def _const_factors(cfg: ModelConfig, k: _Kernels, sd: SeqData, bp_ok,
         gate = jnp.where(sd.dots, 0.0, NEG).astype(dtype)
     else:
         gate = jnp.zeros((Lp,), dtype)
-    S = 1 if null else k.g.S
     g = k.gnull if null else k.g
     from ..ops import ep_fast as EPF
     ep = EPF.seq_tables(tab, sd.seq, Lp, Wp, cfg.no_ene, dtype)
@@ -291,7 +289,7 @@ def _const_factors(cfg: ModelConfig, k: _Kernels, sd: SeqData, bp_ok,
                               -np.inf), dtype)
     TPm = jnp.asarray(np.where(g.pt_tau, ltau, 0.0), dtype)
     wsp = sd.ws.astype(dtype) if not null else jnp.zeros((Lp,), dtype)
-    return DP.ConstFactors(
+    return DPM.ConstFactors(
         wsp=wsp, TR=TR, TL=TL, TPm=TPm,
         hp=hp.astype(dtype), stk=stk.astype(dtype), ext=ext.astype(dtype),
         ml2=ml2.astype(dtype), mlE=mlE.astype(dtype),
@@ -300,48 +298,9 @@ def _const_factors(cfg: ModelConfig, k: _Kernels, sd: SeqData, bp_ok,
         dots_cum=dots_cum, ep=ep)
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def _bpp_posterior_jit(cfg: ModelConfig, sd: SeqData):
-    """Base-pair probabilities from the motif-free pass
-    (energy_model.hpp:188-266): grad of logZ wrt the injected per-pair
-    log-factor alphaP is exactly the pair posterior."""
-    k = kernels(cfg)
-    dtype = jnp.dtype(cfg.dtype)
-    bp0 = _complementary_bp(cfg, k, sd)
-    if cfg.fix_rss:
-        bp0 = sd.rss_pair
-    d, c = _null_factors(cfg, k, sd, bp0, dtype)
-
-    def z_of_alpha(alphaP):
-        dd = d._replace(alphaP=alphaP)
-        parts = k.dp_parts_null(dd, c)
-        return parts[0]
-
-    z, vjp = jax.vjp(z_of_alpha, d.alphaP)
-    (post,) = vjp(jnp.ones((), dtype))
-    return z, post, bp0
-
-
-@functools.partial(jax.jit, static_argnums=(0,))
-def _effective_bp_mask_jit(cfg: ModelConfig, sd: SeqData):
-    """bp_ok after min-BPP pruning (or structure fixing); also returns
-    bpp_eff = kept / candidate pairs (energy_model.hpp:211-266)."""
-    k = kernels(cfg)
-    bp0 = _complementary_bp(cfg, k, sd)
-    total = jnp.maximum(bp0.sum(), 1)
-    if cfg.fix_rss:
-        return sd.rss_pair, sd.rss_pair.sum() / total
-    if cfg.min_bpp <= 0 or cfg.no_rss:
-        return bp0, jnp.asarray(1.0)
-    _, post, _ = _bpp_posterior_jit(cfg, sd)
-    keep = bp0 & (jnp.log(jnp.maximum(post, 1e-300))
-                  >= np.log(cfg.min_bpp))
-    return keep, keep.sum() / total
-
-
-def factors(cfg: ModelConfig, params: Params, sd: SeqData, bp_ok,
-            aux=None):
-    """Build (DiffFactors, ConstFactors) for the joint DP."""
+def _diff_factors_single(cfg: ModelConfig, params: Params, sd: SeqData,
+                         aux, DPmod):
+    """Per-read differentiable factors (shared by both DP layouts)."""
     k = kernels(cfg)
     g = k.g
     dtype = jnp.dtype(cfg.dtype)
@@ -389,7 +348,7 @@ def factors(cfg: ModelConfig, params: Params, sd: SeqData, bp_ok,
                        jnp.clip(bt - 1, 0, 5)[..., None]]
         pv = jnp.where((bt > 0)[..., None], pvv, 0.0)
 
-    d = DP.DiffFactors(
+    d = DPmod.DiffFactors(
         eR=eR.astype(dtype), eL=eL.astype(dtype), bg2=bg2.astype(dtype),
         pv=pv.astype(dtype), lam=params.lam.astype(dtype),
         alphaP=jnp.zeros((Lp + 1, Wp + 1), dtype))
@@ -400,37 +359,193 @@ def factors(cfg: ModelConfig, params: Params, sd: SeqData, bp_ok,
         d = d._replace(
             auxR=aux.get("auxR", zaux), auxL=aux.get("auxL", zaux),
             auxPL=aux.get("auxPL", zaux), auxPR=aux.get("auxPR", zaux))
-    c = _const_factors(cfg, k, sd, bp_ok, dtype)
+    return d
+
+
+def factors(cfg: ModelConfig, params: Params, sd: SeqData, bp_ok,
+            aux=None):
+    """Per-read (DiffFactors, ConstFactors) in the dp_max/CYK layout."""
+    k = kernels(cfg)
+    dtype = jnp.dtype(cfg.dtype)
+    d = _diff_factors_single(cfg, params, sd, aux, DPM)
+    c = _const_factors_single(cfg, k, sd, bp_ok, dtype)
     return d, c
 
 
-@functools.partial(jax.jit, static_argnums=(0, 5))
-def _logZ_parts_jit(cfg: ModelConfig, params: Params, sd: SeqData, aux=None,
-               bp_ok=None, with_eff=False):
-    """[3] log partition parts at end states (0,0), (0,M-2), (0,M-1).
+def _to_batched(d_lead, c_lead, params_lam):
+    """Leading-batch factor pytrees (from vmap) -> trailing-batch DP
+    factors; grammar transition matrices drop out (static in ops/dp.py),
+    lambda stays shared."""
+    mv = lambda x: jnp.moveaxis(x, 0, -1)
+    d = DP.DiffFactors(
+        eR=mv(d_lead.eR), eL=mv(d_lead.eL), bg2=mv(d_lead.bg2),
+        pv=mv(d_lead.pv), lam=params_lam,
+        alphaP=mv(d_lead.alphaP),
+        auxR=None if d_lead.auxR is None else mv(d_lead.auxR),
+        auxL=None if d_lead.auxL is None else mv(d_lead.auxL),
+        auxPL=None if d_lead.auxPL is None else mv(d_lead.auxPL),
+        auxPR=None if d_lead.auxPR is None else mv(d_lead.auxPR))
+    c = DP.ConstFactors(
+        wsp=mv(c_lead.wsp), hp=mv(c_lead.hp), stk=mv(c_lead.stk),
+        ext=mv(c_lead.ext), ml2=mv(c_lead.ml2), mlE=mv(c_lead.mlE),
+        okP=mv(c_lead.okP), okE=mv(c_lead.okE), okM=mv(c_lead.okM),
+        okB=mv(c_lead.okB), gate_O2=mv(c_lead.gate_O2),
+        gate_M=mv(c_lead.gate_M), seq=mv(c_lead.seq),
+        C=c_lead.C, L=c_lead.L, dots_cum=mv(c_lead.dots_cum),
+        ep={kk: mv(vv) for kk, vv in c_lead.ep.items()})
+    return d, c
+
+
+def batch_factors(cfg: ModelConfig, params: Params, sd_b: SeqData,
+                  bp_ok_b, aux_b=None):
+    """Batched (DiffFactors, ConstFactors) for the production DP.
+
+    sd_b: SeqData with leading batch axis; bp_ok_b: [B, Lp+1, Wp+1];
+    aux_b: optional dict of [B, Lp, S, S] tensors.
+    """
+    k = kernels(cfg)
+    dtype = jnp.dtype(cfg.dtype)
+
+    if aux_b is None:
+        def one(sd, bp):
+            d = _diff_factors_single(cfg, params, sd, None, DPM)
+            c = _const_factors_single(cfg, k, sd, bp, dtype)
+            return d, c
+        d_lead, c_lead = jax.vmap(one)(sd_b, bp_ok_b)
+    else:
+        def one(sd, bp, aux):
+            d = _diff_factors_single(cfg, params, sd, aux, DPM)
+            c = _const_factors_single(cfg, k, sd, bp, dtype)
+            return d, c
+        d_lead, c_lead = jax.vmap(one)(sd_b, bp_ok_b, aux_b)
+    return _to_batched(d_lead, c_lead, params.lam.astype(dtype))
+
+
+def _null_batch_factors(cfg: ModelConfig, k: _Kernels, sd_b: SeqData,
+                        bp0_b, dtype):
+    """Batched factors for the motif-free McCaskill pass (BPP pruning)."""
+    Lp, Wp = cfg.Lp, cfg.Wp
+    B = bp0_b.shape[0]
+    c_lead = jax.vmap(
+        lambda sd, bp: _const_factors_single(cfg, k, sd, bp, dtype,
+                                             null=True))(sd_b, bp0_b)
+    _, c = _to_batched(
+        DPM.DiffFactors(eR=jnp.zeros((B, Lp, 1), dtype),
+                        eL=jnp.zeros((B, Lp, 1), dtype),
+                        bg2=jnp.zeros((B, Lp), dtype),
+                        pv=jnp.zeros((B, Lp + 1, Wp + 1, 1), dtype),
+                        lam=jnp.ones((B, 2), dtype),
+                        alphaP=jnp.zeros((B, Lp + 1, Wp + 1), dtype)),
+        c_lead, jnp.ones((2,), dtype))
+    d = DP.DiffFactors(
+        eR=jnp.zeros((Lp, 1, B), dtype), eL=jnp.zeros((Lp, 1, B), dtype),
+        bg2=jnp.zeros((Lp, B), dtype),
+        pv=jnp.zeros((Lp + 1, Wp + 1, 1, B), dtype),
+        lam=jnp.ones((2,), dtype),
+        alphaP=jnp.zeros((Lp + 1, Wp + 1, B), dtype))
+    return d, c
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _bpp_posterior_batch_jit(cfg: ModelConfig, sd_b: SeqData):
+    """Batched base-pair probabilities from the motif-free pass
+    (energy_model.hpp:188-266): grad of logZ wrt the injected per-pair
+    log-factor alphaP is exactly the pair posterior."""
+    k = kernels(cfg)
+    dtype = jnp.dtype(cfg.dtype)
+    bp0 = jax.vmap(lambda sd: _complementary_bp(cfg, k, sd))(sd_b)
+    if cfg.fix_rss:
+        bp0 = sd_b.rss_pair
+    d, c = _null_batch_factors(cfg, k, sd_b, bp0, dtype)
+
+    def z_of_alpha(alphaP):
+        dd = d._replace(alphaP=alphaP)
+        parts = k.dp_parts_null(dd, c)       # [B, 3]
+        return parts[:, 0]
+
+    z, vjp = jax.vjp(z_of_alpha, d.alphaP)
+    (post,) = vjp(jnp.ones_like(z))
+    return z, jnp.moveaxis(post, -1, 0), bp0
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _effective_bp_mask_batch_jit(cfg: ModelConfig, sd_b: SeqData):
+    """Batched bp_ok after min-BPP pruning; also returns bpp_eff [B]
+    (energy_model.hpp:211-266)."""
+    k = kernels(cfg)
+    bp0 = jax.vmap(lambda sd: _complementary_bp(cfg, k, sd))(sd_b)
+    total = jnp.maximum(bp0.sum(axis=(1, 2)), 1)
+    if cfg.fix_rss:
+        return sd_b.rss_pair, sd_b.rss_pair.sum(axis=(1, 2)) / total
+    if cfg.min_bpp <= 0 or cfg.no_rss:
+        return bp0, jnp.ones(bp0.shape[0])
+    _, post, _ = _bpp_posterior_batch_jit(cfg, sd_b)
+    keep = bp0 & (jnp.log(jnp.maximum(post, 1e-300))
+                  >= np.log(cfg.min_bpp))
+    return keep, keep.sum(axis=(1, 2)) / total
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _batch_logZ_parts_jit(cfg: ModelConfig, params: Params, sd_b: SeqData,
+                          aux_b=None, bp_ok_b=None):
+    """[B, 3] log partition parts at end states (0,0), (0,M-2), (0,M-1).
 
     part_func(ari, nasi) of the reference (motif_trainer.hpp:108-112) is
     a logsumexp over a subset of these.
     """
     k = kernels(cfg)
     if cfg.no_rss:
-        lp = _linear_parts_jit(cfg, params, sd, aux)
+        return jax.vmap(
+            lambda sd, aux: _linear_parts_one(cfg, params, sd, aux)
+        )(sd_b, aux_b) if aux_b is not None else jax.vmap(
+            lambda sd: _linear_parts_one(cfg, params, sd, None))(sd_b)
+    if bp_ok_b is None:
+        bp_ok_b, _ = _effective_bp_mask_batch_jit(cfg, sd_b)
+    d, c = batch_factors(cfg, params, sd_b, bp_ok_b, aux_b)
+    return k.dp_parts(d, c)
+
+
+def batch_logZ_parts(cfg: ModelConfig, params: Params, sd_b: SeqData,
+                     aux_b=None, bp_ok_b=None):
+    _warm(cfg)
+    return _batch_logZ_parts_jit(cfg, params, sd_b, aux_b, bp_ok_b)
+
+
+def _expand1(tree):
+    return jax.tree.map(lambda x: jnp.asarray(x)[None], tree)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _effective_bp_mask_jit(cfg: ModelConfig, sd: SeqData):
+    """Per-read wrapper over the batched pruning pass."""
+    keep, eff = _effective_bp_mask_batch_jit(cfg, _expand1(sd))
+    return keep[0], eff[0]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5))
+def _logZ_parts_jit(cfg: ModelConfig, params: Params, sd: SeqData,
+                    aux=None, bp_ok=None, with_eff=False):
+    """Per-read wrapper over the batched DP (B = 1)."""
+    if cfg.no_rss:
+        lp = _linear_parts_one(cfg, params, sd, aux)
         if with_eff:
             return lp, jnp.asarray(1.0)
         return lp
+    sd_b = _expand1(sd)
     if bp_ok is None:
-        bp_ok, eff = _effective_bp_mask_jit(cfg, sd)
+        bp_ok_b, eff = _effective_bp_mask_batch_jit(cfg, sd_b)
+        eff = eff[0]
     else:
-        eff = jnp.asarray(1.0)
-    d, c = factors(cfg, params, sd, bp_ok, aux)
-    parts = k.dp_parts(d, c)
+        bp_ok_b, eff = bp_ok[None], jnp.asarray(1.0)
+    aux_b = None if aux is None else _expand1(aux)
+    parts = _batch_logZ_parts_jit(cfg, params, sd_b, aux_b, bp_ok_b)[0]
     if with_eff:
         return parts, eff
     return parts
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def _linear_parts_jit(cfg: ModelConfig, params: Params, sd: SeqData, aux=None):
+def _linear_parts_one(cfg: ModelConfig, params: Params, sd: SeqData,
+                      aux=None):
     """no-rss mode: plain forward chain over O states
     (motif_model.hpp:170-190)."""
     k = kernels(cfg)
@@ -483,12 +598,14 @@ def _warm(cfg: ModelConfig):
 
 def bpp_posterior(cfg: ModelConfig, sd: SeqData):
     _warm(cfg)
-    return _bpp_posterior_jit(cfg, sd)
+    z, post, bp0 = _bpp_posterior_batch_jit(cfg, _expand1(sd))
+    return z[0], post[0], bp0[0]
 
 
 def effective_bp_mask(cfg: ModelConfig, sd: SeqData):
     _warm(cfg)
-    return _effective_bp_mask_jit(cfg, sd)
+    keep, eff = _effective_bp_mask_batch_jit(cfg, _expand1(sd))
+    return keep[0], eff[0]
 
 
 def logZ_parts(cfg: ModelConfig, params: Params, sd: SeqData, aux=None,
@@ -499,4 +616,4 @@ def logZ_parts(cfg: ModelConfig, params: Params, sd: SeqData, aux=None,
 
 def linear_parts(cfg: ModelConfig, params: Params, sd: SeqData, aux=None):
     _warm(cfg)
-    return _linear_parts_jit(cfg, params, sd, aux)
+    return _linear_parts_one(cfg, params, sd, aux)

@@ -1,28 +1,42 @@
-"""Joint (energy x motif) banded inside-outside DP, TPU-native.
+"""Joint (energy x motif) banded inside-outside DP — batched, TPU-first.
 
-The reference implements one templated recursion consumed by five functor
-families (energy_model.hpp:340-547, motif_model.hpp:230-613,
-motif_trainer.hpp:274-458).  Here the same recursion is a single
-``lax.scan`` over sequence columns j with all cell updates vectorized over
-the band (w), motif states (S) and batch.
+One ``lax.scan`` over sequence columns j computes the inside recursion of
+the reference (energy_model.hpp:340-441 fanned out over motif states by
+motif_model.hpp:230-423) for a WHOLE BATCH of reads at once, sum semiring
+only (the max/CYK twin lives in ops/dp_max.py).
 
-Gradients (the reference's entire OutsideFun/expected-count machinery,
-motif_trainer.hpp:330-458) come from a custom VJP: because every column
-update is a pure overwrite of row j, the pre-column state is
-reconstructible from the *final* inside tables (reset row j to its
-boundary value), so the backward pass is a reverse scan that re-runs each
-column update under ``jax.vjp`` and accumulates cotangents — i.e. the
-outside recursion, derived mechanically, with O(1) extra memory instead of
-O(L) saved carries.  Expected emission counts, lambda gradients and all
-scanner posteriors are then plain ``jax.grad`` through the factor tensors.
+TPU-native design decisions (vs the per-read column scan of round 1):
+
+* **Batch-minor layout**: every tensor carries the batch axis LAST, so
+  the (state, batch) plane fills VPU lanes/sublanes; a vmap'd per-read
+  kernel left >90% of the lanes idle ((W+1) x S = 51 x 29 minor dims).
+* **Exp-space matmuls**: all state fan-outs (right-chain transitions,
+  pair transitions, B=1x2 bifurcation splits, O=O*P exterior splits and
+  the TT_E_P quadruple sum) are computed as max-shifted exponential
+  matmuls against static 0/1 (or tau) matrices — MXU work instead of
+  lane-starved logsumexp reductions.  Shifts are jax.lax.stop_gradient'd
+  so reverse-mode gradients stay exact.
+* **Hoisted energy exponentials**: exp(lambda * {misA, misB, SZ, ext})
+  are computed once per evaluation outside the column scan (the round-1
+  kernel re-exponentiated the internal-loop tensors per column per
+  class per lambda bucket — the measured hotspot, 2/3 of forward time).
+* **No full-table concatenates**: DP tables are allocated with Wp+1
+  padding rows of -inf in front, so band reads are fused dynamic slices
+  instead of pad+concat copies of the whole table.
+
+Gradients (the reference's OutsideFun/expected-count machinery,
+motif_trainer.hpp:330-458) come from a custom VJP: every column update
+is a pure overwrite of row j, reads of rows >= j are either freshly
+written this column or provably zero-weighted, so re-running each column
+under ``jax.vjp`` against the FINAL tables in a reverse scan is exactly
+the outside recursion, with O(1) extra memory.
 
 Cell conventions (span (i, j), i = j - w, bases i..j-1):
   LL: ST_L linear runs inside loops;   P: paired span (i, j-1);
-  E:  interior of pair (i-1, j);       M/B/S1/S2: multiloop states;
+  E:  interior of pair (i-1, j);       M/B/T1/T2: multiloop states;
   O:  exterior prefix [0, j).
 Within a column the update order L, P, 2, B, 1, M, E, O only reads
-finalized values (derived from the i-descending sequential order of
-energy_model.hpp:340-441).
+finalized values (the i-descending order of energy_model.hpp:340-441).
 """
 from __future__ import annotations
 
@@ -32,9 +46,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .semiring import NEG, lse, logadd, lam_mul, mask_neg, seg_lse
-from ..energy.tables import iloop_scores
-from . import ep_fast as EPF
+from .semiring import NEG, lse, logadd, lam_mul, mask_neg
+from .ep_fast import build_ep_static
 
 
 class Dims(NamedTuple):
@@ -42,133 +55,660 @@ class Dims(NamedTuple):
     Wp: int      # padded band width
     Cp: int      # padded internal-loop width
     S: int
-    QC: int      # quadruple chunk size
     no_ene: bool
     fix_rss: bool
     with_aux: bool
+    ltau: float  # log self-transition penalty (static per config)
 
 
 class DiffFactors(NamedTuple):
-    """Differentiable log-space factor tensors (theta/lambda flow here)."""
-    eR: jnp.ndarray      # [Lp, S] right emission + ws (+tau in TR)
-    eL: jnp.ndarray      # [Lp, S] left emission + ws, keyed by source
-    bg2: jnp.ndarray     # [Lp] background single emission
-    pv: jnp.ndarray      # [Lp+1, Wp+1, Tp] pair-table emissions
-    lam: jnp.ndarray     # [2] lambda buckets
-    alphaP: jnp.ndarray = None  # [Lp+1, Wp+1] injected P-cell log factor
+    """Differentiable log-space factors; trailing batch axis B throughout
+    (lam excepted: parameters are shared across the batch)."""
+    eR: jnp.ndarray      # [Lp, S, B] right emission + ws
+    eL: jnp.ndarray      # [Lp, S, B] left emission + ws, keyed by source
+    bg2: jnp.ndarray     # [Lp, B] background single emission
+    pv: jnp.ndarray      # [Lp+1, Wp+1, Tp, B] pair-table emissions
+    lam: jnp.ndarray     # [2]
+    alphaP: jnp.ndarray = None  # [Lp+1, Wp+1, B] injected P-cell factor
     #   (zero; its gradient is the pair posterior — used for BPP)
-    auxR: Optional[jnp.ndarray] = None   # [Lp, S, S]
+    auxR: Optional[jnp.ndarray] = None   # [Lp, S, S, B]
     auxL: Optional[jnp.ndarray] = None
     auxPL: Optional[jnp.ndarray] = None
     auxPR: Optional[jnp.ndarray] = None
 
 
 class ConstFactors(NamedTuple):
-    """Non-differentiable per-sequence tensors (energies, masks, gates)."""
-    wsp: jnp.ndarray     # [Lp] positional weight at '('/')' nodes
-    TR: jnp.ndarray      # [S,S] right transitions (incl tau), log
-    TL: jnp.ndarray      # [S,S] left transitions
-    TPm: jnp.ndarray     # [S,S] pair transition tau part (log, 0/-inf/tau)
-    hp: jnp.ndarray      # [Lp+1, Wp+1]
+    """Non-differentiable per-sequence tensors, trailing batch axis."""
+    wsp: jnp.ndarray     # [Lp, B] positional weight at '('/')' nodes
+    hp: jnp.ndarray      # [Lp+1, Wp+1, B]
     stk: jnp.ndarray
     ext: jnp.ndarray
     ml2: jnp.ndarray
     mlE: jnp.ndarray
-    okP: jnp.ndarray     # [Lp+1, Wp+1] bool
+    okP: jnp.ndarray     # [Lp+1, Wp+1, B] bool
     okE: jnp.ndarray
     okM: jnp.ndarray
     okB: jnp.ndarray
-    gate_O2: jnp.ndarray  # [Lp] 0/-inf fix-rss gate for O_O / 2_2
-    gate_M: jnp.ndarray   # [Lp]
-    seq: jnp.ndarray      # [Lp] int codes
-    C: jnp.ndarray        # scalar max internal loop width
-    L: jnp.ndarray        # scalar true length
-    dots_cum: jnp.ndarray  # [Lp+1]
-    ep: dict              # factorized internal-loop tables (ep_fast)
+    gate_O2: jnp.ndarray  # [Lp, B] 0/-inf fix-rss gate for O_O / 2_2
+    gate_M: jnp.ndarray   # [Lp, B]
+    seq: jnp.ndarray      # [Lp, B] int codes
+    C: jnp.ndarray        # [B] max internal loop width
+    L: jnp.ndarray        # [B] true length
+    dots_cum: jnp.ndarray  # [Lp+1, B]
+    ep: dict              # misA/misB [4, Lp+1, Wp+1, B], t_out/t_in ints
 
 
-def make_consts(g):
-    """Static numpy constants derived from a compiled Grammar."""
-    dense_tab = np.maximum(g.pair_table_index[g.pt_tab], 0)
-    return dict(
-        diag=g.diag_mask, loop=g.loop_mask, bucket=g.lam_bucket,
-        pt=g.pt, pt_isbp=g.pt_isbp, pt_tabd=dense_tab,
-        pt_wl=g.pt_wl, pt_wr=g.pt_wr,
-        op=g.op_tuples, b12=g.b12_tuples, ep=g.ep_tuples,
-        end=g.end_states,
-    )
-
-
-def _pad_tuples(t: np.ndarray, chunk: int):
-    n = max(t.shape[0], 1)
-    npad = (-n) % chunk
-    tp = np.concatenate(
-        [t, np.zeros((npad + n - t.shape[0], t.shape[1]), t.dtype)], 0)
-    mask = np.concatenate(
-        [np.zeros(t.shape[0]), np.full(tp.shape[0] - t.shape[0], -np.inf)])
-    return tp, mask
-
-
-def _shift_w(A, k: int):
-    """src[w] = A[w-k] along the leading (band) axis, -inf filled."""
-    pad = jnp.full((k,) + A.shape[1:], NEG, A.dtype)
+def _shift_w(A, k: int, fill=NEG):
+    """src[w] = A[w-k] along the leading (band) axis."""
+    if k == 0:
+        return A
+    pad = jnp.full((k,) + A.shape[1:], fill, A.dtype)
     return jnp.concatenate([pad, A[:-k]], axis=0)
 
 
-def _flip_rows(T, j, nrows: int):
-    """F[r] = T[j - r] for r = 0..nrows-1 (pad + slice + flip)."""
-    pad = jnp.full((nrows,) + T.shape[1:], NEG, T.dtype)
-    Tp = jnp.concatenate([pad, T], axis=0)
-    blk = jax.lax.dynamic_slice_in_dim(Tp, j + 1, nrows, axis=0)
-    return blk[::-1]
+def _shear(A, J: int, fill):
+    """Y[d, j] = A[d, j - d] (gather-free pad+reshape+slice)."""
+    D, R = A.shape[0], A.shape[1]
+    tail = A.shape[2:]
+    K = R + max(D, J - R + 1)
+    M2 = jnp.pad(A, ((0, 0), (0, K - R)) + ((0, 0),) * len(tail),
+                 constant_values=fill)
+    flat = M2.reshape((D * K,) + tail)
+    Y = flat[: D * (K - 1)].reshape((D, K - 1) + tail)
+    return Y[:, :J]
 
 
-def _mchain_assoc(Tmats, bvecs):
-    """Solve x_w = (T_w o x_{w-1}) ⊕ b_w in the log semiring with x_-1
-    = -inf, via an associative scan of affine maps in exp space with
-    per-element shifts (matmuls run on the MXU instead of a 51-step
-    sequential inner loop).  Returns x [W+1, S].
+def _finmax(x, axes, keepdims=False):
+    """stop-gradient max over axes with -inf replaced by 0 (shift base)."""
+    m = jax.lax.stop_gradient(jnp.max(x, axis=axes, keepdims=keepdims))
+    return jnp.where(jnp.isfinite(m), m, 0.0)
 
-    Tmats: [W+1, S, S] log transition factors (target, source);
-    bvecs:  [W+1, S] log source terms.
-    """
-    dtype = Tmats.dtype
+
+def _safe_log(s, dtype):
     tiny = jnp.finfo(dtype).tiny
+    return jnp.where(s > 0, jnp.log(jnp.maximum(s, tiny)), NEG)
 
-    msh = jax.lax.stop_gradient(jnp.max(Tmats, axis=(-2, -1)))
-    msh = jnp.where(jnp.isfinite(msh), msh, 0.0)
-    E = jnp.exp(Tmats - msh[:, None, None])
-    vsh = jax.lax.stop_gradient(jnp.max(bvecs, axis=-1))
-    vsh = jnp.where(jnp.isfinite(vsh), vsh, 0.0)
-    ev = jnp.exp(bvecs - vsh[:, None])
 
-    def combine(a, b):
-        Ea, sha, eva, vsha = a
-        Eb, shb, evb, vshb = b
-        Ec = jnp.einsum("...ij,...jk->...ik", Eb, Ea,
+def _pem_combos(g, ltau: float):
+    """Static exp-space pair-transition matrices, factored by emission
+    kind (profile_hmm.hpp:113-135 via motif_model.hpp:271-299): one
+    background matrix plus one matrix per (pair-table, ws-left, ws-right)
+    combination actually present in the grammar."""
+    tau = float(np.exp(ltau)) if np.isfinite(ltau) else 0.0
+    tfac = np.where(g.pt_tau, tau, 1.0)
+    mbg = np.where(g.pt & ~g.pt_isbp, tfac, 0.0)
+    dense_tab = np.maximum(g.pair_table_index[g.pt_tab], 0)
+    combos = []
+    for t in range(max(1, g.n_pair_tables)):
+        for a in (False, True):
+            for b in (False, True):
+                m = (g.pt & g.pt_isbp & (dense_tab == t)
+                     & (g.pt_wl == a) & (g.pt_wr == b))
+                if m.any():
+                    combos.append((t, a, b, np.where(m, tfac, 0.0)))
+    return mbg, combos
+
+
+def _split_by_bucket(tuples, col, bucket):
+    """Sort tuple rows so bucket-0 targets come first; return
+    (sorted_tuples, n_bucket0)."""
+    if len(tuples) == 0:
+        return tuples, 0
+    b = bucket[tuples[:, col]]
+    order = np.argsort(b, kind="stable")
+    return tuples[order], int((b == 0).sum())
+
+
+def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64):
+    """Build (dp_parts, inside_tables) for one compiled grammar + dims.
+
+    dp_parts(diff, const) -> [B, 3] log partition parts at inside_o(L, s)
+    for end states (0,0), (0,M-2), (0,M-1) (motif_trainer.hpp:108-112).
+    inside_tables(diff, const) -> full inside tables with Wp+1 rows of
+    front padding: (LL, P, E, M, B, T1, T2, O); row j lives at j + PAD.
+    """
+    # canonicalize: float64 without jax_enable_x64 actually runs f32, and
+    # finfo(float64) constants (BIG_NEG, tiny) would overflow to -inf
+    dtype = jnp.zeros((), dtype).dtype
+    Lp, Wp, Cp, S = dims.Lp, dims.Wp, dims.Cp, dims.S
+    PAD = Wp + 1
+    ltau = dims.ltau
+
+    diag = jnp.asarray(g.diag_mask)
+    loopm = jnp.asarray(g.loop_mask)
+    bucket_np = g.lam_bucket
+    bucket = jnp.asarray(bucket_np)
+    end_states = jnp.asarray(g.end_states)
+    warr = jnp.arange(Wp + 1)
+    dlarr = jnp.arange(Cp + 1)
+    diag_col = jnp.where(diag, 0.0, NEG).astype(dtype)
+
+    # static transition matrices (target, source), exp space
+    tau = float(np.exp(ltau)) if np.isfinite(ltau) else 0.0
+    E_TR = jnp.asarray(
+        np.where(g.rt, np.where(g.rt_tau, tau, 1.0), 0.0), dtype)
+    TL = jnp.asarray(np.where(g.lt, np.where(g.lt_tau, ltau, 0.0),
+                              -np.inf), dtype)
+    TR_log = jnp.asarray(np.where(g.rt, np.where(g.rt_tau, ltau, 0.0),
+                                  -np.inf), dtype)
+
+    mbg_np, combos = _pem_combos(g, ltau)
+    Mbg = jnp.asarray(mbg_np, dtype)
+    # pem masks needed for the dense with_aux path
+    pt_mask = jnp.asarray(g.pt)
+    pt_isbp = jnp.asarray(g.pt_isbp)
+    pt_tabd = jnp.asarray(np.maximum(g.pair_table_index[g.pt_tab], 0))
+    pt_wl = jnp.asarray(g.pt_wl)
+    pt_wr = jnp.asarray(g.pt_wr)
+    TPm = jnp.asarray(np.where(g.pt_tau, ltau, 0.0), dtype)
+
+    # B_12 splits: exp-matmul over (dk) then static tuple-sum matrix
+    Hb12 = np.zeros((S * S, S))
+    for (t, a, c2) in g.b12_tuples:
+        Hb12[a * S + c2, t] = 1.0
+    Hb12 = jnp.asarray(Hb12, dtype)
+
+    # O_OP splits, grouped by the lambda bucket of the target state
+    Hop = np.zeros((2, S * S, S))
+    for (t, a, c2) in g.op_tuples:
+        Hop[bucket_np[t], a * S + c2, t] = 1.0
+    Hop = [jnp.asarray(Hop[b], dtype) for b in range(2)]
+
+    # TT_E_P quadruples, bucket-sorted so per-bucket slices are static
+    energy_np = {k: np.asarray(v) for k, v in energy_tab.items()
+                 if k in ("internal", "ninio", "bulge")}
+    est = build_ep_static(g, Cp, energy_np, dims.no_ene)
+    ep_sorted, nq0 = _split_by_bucket(
+        g.ep_tuples if len(g.ep_tuples) else np.zeros((0, 4), np.int64),
+        0, bucket_np)
+    nq = max(1, len(ep_sorted))
+    eye = np.eye(S)
+
+    def hot(col):
+        h = np.zeros((S, nq))
+        if len(ep_sorted):
+            h[ep_sorted[:, col], np.arange(len(ep_sorted))] = 1.0
+        return jnp.asarray(h, dtype)
+
+    H1, H2, H3 = hot(1), hot(2), hot(3)
+    Hseg = np.zeros((nq, S))
+    if len(ep_sorted):
+        Hseg[np.arange(len(ep_sorted)), ep_sorted[:, 0]] = 1.0
+    Hseg = jnp.asarray(Hseg, dtype)
+    q_b = jnp.asarray(bucket_np[ep_sorted[:, 0]]
+                      if len(ep_sorted) else np.zeros(1, np.int64))
+    q_slices = [(0, nq0), (nq0, nq - nq0 if len(ep_sorted) else 0)]
+    n_cls = est.SZ.shape[0]
+    grp = est.grp
+    SZ_np = est.SZ  # [n_cls, Cp+1(u1), Cp+1(u2)]
+
+    # one-hot picks in log space clamp -inf to a huge finite negative
+    BIG_NEG = -float(jnp.finfo(dtype).max) / 1e8
+
+    def pick(blk, hotm):
+        return jnp.einsum("...sb,sq->...qb", jnp.maximum(blk, BIG_NEG),
+                          hotm, preferred_element_type=dtype)
+
+    def hoisted(d: DiffFactors, c: ConstFactors):
+        """Per-evaluation exp-space energy tensors (lambda flows here)."""
+        lam = d.lam
+        B = c.wsp.shape[-1]
+        h = {}
+        # eSZ[bu][cls]: [Cp+1 (dl=u2), Cp+1 (u1), B] with the per-read
+        # C-cap folded in (dl + u1 <= C)
+        cmask = (dlarr[:, None, None] + dlarr[None, :, None]
+                 <= c.C[None, None, :])
+        h["eSZ"] = [[jnp.exp(lam_mul(lam[b], jnp.asarray(SZ_np[x].T, dtype))
+                             )[:, :, None] * cmask
+                     for x in range(n_cls)] for b in range(2)]
+        # misA/misB exps, padded with PAD front rows for fused band reads
+        def padrows(x, fill):
+            pad = jnp.full((x.shape[0], PAD) + x.shape[2:], fill, x.dtype)
+            return jnp.concatenate([pad, x], axis=1)
+        h["emisA"] = [jnp.exp(lam_mul(lam[b], c.ep["misA"]))
+                      for b in range(2)]                  # [4, Lp+1, w, B]
+        h["emisB"] = [padrows(jnp.exp(lam_mul(lam[b], c.ep["misB"])), 0.0)
+                      for b in range(2)]
+        # exterior split weights exp(lam_b * ext[j, w'])
+        h["eext"] = [jnp.exp(lam_mul(lam[b], c.ext)) for b in range(2)]
+        return h
+
+    def aux_row(aux, p):
+        return aux[jnp.clip(p, 0, Lp - 1)]
+
+    def flip(T, j, n):
+        """rows j, j-1, ..., j-n+1 of a front-padded table."""
+        blk = jax.lax.dynamic_slice_in_dim(T, j + PAD - n + 1, n, axis=0)
+        return blk[::-1]
+
+    def chain(src, eRrow, aR):
+        """Right-transition chain: [w,S,B] -> [w,S,B] target-indexed."""
+        m = _finmax(src, 1, keepdims=True)              # [w,1,B]
+        ex = jnp.exp(src - m)
+        if aR is None:
+            t = jnp.einsum("ts,wsb->wtb", E_TR, ex,
+                           preferred_element_type=dtype)
+        else:
+            t = jnp.einsum("tsb,wsb->wtb", E_TR[:, :, None] * jnp.exp(aR),
+                           ex, preferred_element_type=dtype)
+        return _safe_log(t, dtype) + m + eRrow[None]
+
+    def chain1(src, eRrow, aR, extra):
+        """Single-row chain for the O table: [S,B] -> [S,B]."""
+        m = _finmax(src, 0, keepdims=True)              # [1,B]
+        ex = jnp.exp(src - m)
+        if aR is None:
+            t = jnp.einsum("ts,sb->tb", E_TR, ex,
+                           preferred_element_type=dtype)
+        else:
+            t = jnp.einsum("tsb,sb->tb", E_TR[:, :, None] * jnp.exp(aR),
+                           ex, preferred_element_type=dtype)
+        return _safe_log(t, dtype) + m + eRrow + extra
+
+    def pem_dense(d, c, j, i_of_w):
+        """Dense pair-emission tensor [w,S,S,B] (with_aux scanner path)."""
+        bgl = d.bg2[jnp.clip(i_of_w, 0, Lp - 1)]         # [w,B]
+        bgr = d.bg2[jnp.clip(j - 1, 0, Lp - 1)]          # [B]
+        bg_part = bgl[:, None, None, :] + bgr[None, None, None, :]
+        pvj = d.pv[j]                                     # [w, Tp, B]
+        bp_part = pvj[:, pt_tabd, :]                      # [w, S, S, B]
+        wl = c.wsp[jnp.clip(i_of_w, 0, Lp - 1)][:, None, None, :]
+        wr = c.wsp[jnp.clip(j - 1, 0, Lp - 1)][None, None, None, :]
+        bp_part = bp_part + jnp.where(pt_wl[None, :, :, None], wl, 0.0) \
+            + jnp.where(pt_wr[None, :, :, None], wr, 0.0)
+        pem = jnp.where(pt_isbp[None, :, :, None], bp_part, bg_part)
+        pem = jnp.where(pt_mask[None, :, :, None],
+                        pem + TPm[None, :, :, None], NEG)
+        if dims.with_aux:
+            pem = pem + aux_row(d.auxPL, i_of_w)[:, :, :, :] \
+                + d.auxPR[jnp.clip(j - 1, 0, Lp - 1)][None]
+        return pem
+
+    def p_col(d, c, j, i_of_w, prevE2, prevP2, lamv):
+        """U2: P <- pem * (E | P), factored into static-matrix matmuls."""
+        if dims.with_aux:
+            pem = pem_dense(d, c, j, i_of_w)
+            a_pe = lse(pem + prevE2[:, None, :, :], axis=2)
+            a_pp = lse(pem + prevP2[:, None, :, :], axis=2)
+        else:
+            wl = c.wsp[jnp.clip(i_of_w, 0, Lp - 1)]       # [w,B]
+            wr = c.wsp[jnp.clip(j - 1, 0, Lp - 1)]        # [B]
+            bgf = jnp.exp(d.bg2[jnp.clip(i_of_w, 0, Lp - 1)]
+                          + d.bg2[jnp.clip(j - 1, 0, Lp - 1)][None])
+            pvj = d.pv[j]                                 # [w, Tp, B]
+            outs = []
+            for src in (prevE2, prevP2):
+                m = _finmax(src, 1, keepdims=True)        # [w,1,B]
+                ex = jnp.exp(src - m)
+                acc = jnp.einsum("ts,wsb->wtb", Mbg, ex,
+                                 preferred_element_type=dtype) \
+                    * bgf[:, None, :]
+                for (t, a, b2, mask) in combos:
+                    fac = pvj[:, t, :]
+                    if a:
+                        fac = fac + wl
+                    if b2:
+                        fac = fac + wr
+                    acc = acc + jnp.einsum(
+                        "ts,wsb->wtb", jnp.asarray(mask, dtype), ex,
+                        preferred_element_type=dtype) \
+                        * jnp.exp(fac)[:, None, :]
+                outs.append(_safe_log(acc, dtype) + m)
+            a_pe, a_pp = outs
+        a_pp = a_pp + lam_mul(lamv[None, :, None], c.stk[j][:, None, :])
+        Pcol = logadd(a_pe, a_pp) + d.alphaP[j][:, None, :]
+        return mask_neg(Pcol, c.okP[j][:, None, :])
+
+    def b_col(c, j, T1t, T2col):
+        """U4: B(i,j) = sum_k 1(i,k) * 2(k,j) as one dk-contraction
+        matmul plus a static tuple-sum matmul (TT_B_12)."""
+        T1F = flip(T1t, j, Wp + 1)                 # [dk, w-dk? rows j-dk]
+        m1 = _finmax(T1F, (0, 1, 2), keepdims=False)[None, None, None, :]
+        ex1 = jnp.exp(T1F - m1)
+        ex1 = ex1.at[0].set(0.0)                   # dk >= 1 (k < j)
+        X1 = _shear(ex1, Wp + 1, 0.0)              # [dk, w, S, B]
+        m2 = _finmax(T2col, (0, 1), keepdims=False)[None, None, :]
+        ex2 = jnp.exp(T2col - m2)
+        ex2 = ex2.at[0].set(0.0)                   # width(2-cell) >= 1
+        G = jnp.einsum("dwab,dcb->wacb", X1, ex2,
+                       preferred_element_type=dtype)
+        out = jnp.einsum("wqb,qt->wtb",
+                         G.reshape(Wp + 1, S * S, -1), Hb12,
+                         preferred_element_type=dtype)
+        Bcol = _safe_log(out, dtype) + m1[0] + m2
+        return mask_neg(Bcol, c.okB[j][:, None, :])
+
+    def m_col(d, c, j, Bcol, dtype_):
+        """U6: multiloop M chain, sequential over the band
+        (motif_model.hpp:346-366)."""
+        iw = jnp.clip(j - warr, 0, Lp - 1)
+        eLrows = d.eL[iw]                        # [w, S, B] source-keyed
+        gMs = c.gate_M[iw]                       # [w, B]
+        bvecs = mask_neg(Bcol, c.okM[j][:, None, :])
+        okMj = c.okM[j]                          # [w, B]
+        auxLrows = d.auxL[iw] if dims.with_aux else None
+        B = Bcol.shape[-1]
+
+        def m_step(x, blk):
+            if dims.with_aux:
+                eb, gb, bb, ob, ab = blk
+                t = x[None, :, :] + TL[:, :, None] + eb[None, :, :] \
+                    + gb[None, None, :] + ab
+            else:
+                eb, gb, bb, ob = blk
+                t = x[None, :, :] + TL[:, :, None] + eb[None, :, :] \
+                    + gb[None, None, :]
+            cur = mask_neg(logadd(bb, lse(t, axis=1)), ob[None, :])
+            return cur, cur
+
+        xs = (eLrows, gMs, bvecs, okMj) if not dims.with_aux else \
+            (eLrows, gMs, bvecs, okMj, auxLrows)
+        _, Mcol = jax.lax.scan(m_step, jnp.full((S, B), NEG, dtype_), xs)
+        return Mcol
+
+    def ep_col(d, c, h, j, Pt, LLt, Lcol):
+        """U7 TT_E_P: internal-loop sum over inner pair, flanking L runs
+        and (dk, dl) gap geometry (motif_model.hpp:329-335,
+        energy_param.hpp:744-795), all exp-space matmuls."""
+        B = Lcol.shape[-1]
+        PF = flip(Pt, j, Cp + 1)                  # [dl, v, S, B]
+        LB = flip(LLt, j, Wp + 1)                 # [r, dk, S, B]
+        mPF = _finmax(PF, (0, 1, 2))[None, None, None, :]
+        exPF = jnp.exp(PF - mPF)
+        mL3 = _finmax(Lcol[: Cp + 1], (0, 1))[None, None, :]
+        exL3 = jnp.exp(Lcol[: Cp + 1] - mL3)
+        if dims.fix_rss:
+            dcum = c.dots_cum
+            rd = (dcum[j] - dcum[jnp.clip(j - dlarr, 0, None)]
+                  ) == dlarr[:, None]              # [dl, B]
+            exL3 = exL3 * rd[:, None, :]
+            ld = (dcum[jnp.clip(j - warr[:, None], 0, None)]
+                  - dcum[jnp.clip(j - warr[None, :], 0, None)]
+                  ) == (warr[None, :, None] - warr[:, None, None])
+        p1 = jnp.einsum("dvsb,sq->dvqb", exPF, H1,
                         preferred_element_type=dtype)
-        shc = sha + shb
-        m = jax.lax.stop_gradient(jnp.max(Ec, axis=(-2, -1)))
-        m = jnp.where(m > 0, m, 1.0)
-        Ec = Ec / m[..., None, None]
-        shc = shc + jnp.log(m)
-        # v_c = b_b ⊕ (T_b o v_a)
-        tv = jnp.einsum("...ij,...j->...i", Eb, eva,
+        l3 = jnp.einsum("dsb,sq->dqb", exL3, H3,
                         preferred_element_type=dtype)
-        base = jnp.maximum(vshb, shb + vsha)
-        base = jnp.where(jnp.isfinite(base), base, 0.0)
-        evc = evb * jnp.exp(vshb - base)[..., None] \
-            + tv * jnp.exp(shb + vsha - base)[..., None]
-        mv = jax.lax.stop_gradient(jnp.max(evc, axis=-1))
-        mv = jnp.where(mv > 0, mv, 1.0)
-        evc = evc / mv[..., None]
-        vshc = base + jnp.log(mv)
-        return (Ec, shc, evc, vshc)
+        inner = p1 * l3[:, None, :, :]            # [dl, v, q, B]
+        inner2 = _shear(inner, Wp + 1, 0.0)       # [dl, r, q, B]
 
-    Ec, shc, evc, vshc = jax.lax.associative_scan(
-        combine, (E, msh, ev, vsh), axis=0)
-    return jnp.where(evc > 0, vshc[:, None]
-                     + jnp.log(jnp.maximum(evc, tiny)), NEG)
+        # misB rows for this column, sheared v -> r
+        mBf = [flip(h["emisB"][b].transpose(1, 0, 2, 3), j, Cp + 1)
+               .transpose(1, 0, 2, 3) for b in range(2)]   # [4, dl, v, B]
+        mBsh = [_shear(mBf[b].transpose(1, 2, 0, 3), Wp + 1, 0.0)
+                .transpose(2, 0, 1, 3) for b in range(2)]  # [4, dl, r, B]
+        mArow = [h["emisA"][b][:, j] for b in range(2)]     # [4, w, B]
+        # W2[gx][bu][r, u1, B] = emisA[gx, w=r+u1]
+        ru = np.minimum(np.arange(Wp + 1)[:, None]
+                        + np.arange(Cp + 1)[None, :], Wp)
+        ru_ok = jnp.asarray((np.arange(Wp + 1)[:, None]
+                             + np.arange(Cp + 1)[None, :]) <= Wp, dtype)
+        ruj = jnp.asarray(ru)
+
+        V_bu = []
+        for b in range(2):
+            lo, ln = q_slices[b]
+            if ln == 0:
+                V_bu.append(None)
+                continue
+            in_b = jax.lax.slice_in_dim(inner2, lo, lo + ln, axis=2)
+            Vacc = None
+            for x in range(n_cls):
+                X = in_b * mBsh[b][grp[x]][:, :, None, :]
+                V = jnp.einsum("drqb,dub->ruqb", X, h["eSZ"][b][x],
+                               preferred_element_type=dtype)
+                wA = mArow[b][grp[x]][ruj] * ru_ok[:, :, None]
+                V = V * wA[:, :, None, :]
+                Vacc = V if Vacc is None else Vacc + V
+            V_bu.append(Vacc)                      # [r, u1, q_b, B]
+
+        # left flank fold: Dleft[r, w] = LL(j-r, width w-r)
+        mLB = _finmax(LB, (0, 1, 2))[None, None, None, :]
+        exLB = jnp.exp(LB - mLB)
+        Dl = _shear(exLB, Wp + 1, 0.0)             # [r, w, S, B]
+        if dims.fix_rss:
+            Dl = Dl * ld[:, :, None, :]
+        out_parts = []
+        for b in range(2):
+            if V_bu[b] is None:
+                continue
+            lo, ln = q_slices[b]
+            # pad u1 -> w and shear: Vsh[r, w] = V[r, w - r]
+            Vp = jnp.pad(V_bu[b], ((0, 0), (0, Wp - Cp), (0, 0), (0, 0)))
+            Vsh = _shear(Vp, Wp + 1, 0.0)          # [r, w, q_b, B]
+            Dq = jnp.einsum("rwsb,sq->rwqb", Dl,
+                            jax.lax.slice_in_dim(H2, lo, lo + ln, axis=1),
+                            preferred_element_type=dtype)
+            Ex = (Dq * Vsh).sum(axis=0)            # [w, q_b, B]
+            outp = jnp.einsum(
+                "wqb,qt->wtb", Ex,
+                jax.lax.slice_in_dim(Hseg, lo, lo + ln, axis=0),
+                preferred_element_type=dtype)
+            out_parts.append(outp)
+        shift = mPF[0, 0] + mL3[0] + mLB[0, 0]     # [1, B]
+        if out_parts:
+            tot = out_parts[0]
+            for p in out_parts[1:]:
+                tot = tot + p
+            main = _safe_log(tot, dtype) + shift
+        else:
+            main = jnp.full((Wp + 1, S, B), NEG, dtype)
+
+        spec = _ep_specials(d, c, j, PF, LB, Lcol, dtype) \
+            if not dims.no_ene else None
+        if spec is not None:
+            main = logadd(main, spec)
+        return main
+
+    def _ep_specials(d, c, j, PF, LB, Lcol, dtype_):
+        """Base-coupled internal loops — stack-adjacent bulges (0,1)/(1,0)
+        and 1x1/1x2/2x1/2x2 internals (energy_param.hpp:744-795)."""
+        B = Lcol.shape[-1]
+        lam = d.lam
+        seq = c.seq
+        sg = lambda idx: seq[jnp.clip(idx, 0, Lp - 1)]
+        tab = energy_tab
+        ept = c.ep
+        t_out = ept["t_out"][j]                    # [w, B]
+        i_w = j - warr
+        b_i = sg(i_w)                              # [w, B]
+        b_jm = sg(jnp.full_like(warr, j - 1))      # [w, B]
+        dcum = c.dots_cum
+
+        def tin_at(lcol, voff):
+            row = ept["t_in"][jnp.clip(lcol, 0, Lp)]   # [w?, B] -> [Wp+1,B]
+            return _shift_w(row, voff, fill=0)
+
+        def spec(dk, dl, il_w):
+            lf = _shift_w(LB[:, dk, :, :], dk)         # [w, S, B]
+            pin = _shift_w(PF[dl], dk + dl)            # [w, S, B]
+            term = (pick(lf, H2) + pick(pin, H1)
+                    + pick(Lcol[dl], H3)[None])
+            ilq = lam_mul(lam[q_b][None, :, None], il_w[:, None, :])
+            ok = (dk + dl) <= c.C                      # [B]
+            t = jnp.where(ok[None, None, :], term + ilq, NEG)
+            if dims.fix_rss:
+                ldok = (dcum[jnp.clip(j - warr + dk, 0, None)]
+                        - dcum[jnp.clip(j - warr, 0, None)]) == dk
+                rdok = (dcum[j] - dcum[jnp.maximum(j - dl, 0)]) == dl
+                t = jnp.where(ldok[:, None, :] & rdok[None, None, :],
+                              t, NEG)
+            return t
+
+        bulge1 = tab["bulge"][1]
+        acc = spec(0, 1, bulge1 + tab["stack"][t_out, tin_at(j - 1, 1)])
+        acc = logadd(acc, spec(1, 0, bulge1
+                               + tab["stack"][t_out, tin_at(j, 1)]))
+        acc = logadd(acc, spec(1, 1, tab["int11"][
+            t_out, tin_at(j - 1, 2), b_i, b_jm]))
+        acc = logadd(acc, spec(1, 2, tab["int21"][
+            t_out, tin_at(j - 2, 3), b_i,
+            sg(jnp.full_like(warr, j - 2)), b_jm]))
+        acc = logadd(acc, spec(2, 1, tab["int21"][
+            tin_at(j - 1, 3), t_out,
+            sg(jnp.full_like(warr, j - 1)), b_i, sg(i_w + 1)]))
+        acc = logadd(acc, spec(2, 2, tab["int22"][
+            t_out, tin_at(j - 2, 4), b_i, sg(i_w + 1),
+            sg(jnp.full_like(warr, j - 2)), b_jm]))
+        # scatter-lse the [w, nq, B] specials into target states
+        m = _finmax(acc, 1, keepdims=True)
+        ex = jnp.exp(acc - m)
+        s = jnp.einsum("wqb,qt->wtb", ex, Hseg,
+                       preferred_element_type=dtype)
+        return _safe_log(s, dtype_) + m
+
+    def o_col(d, c, h, j, Ot, Pcol, eRrow, g_o2, aR):
+        prevO = Ot[j - 1 + PAD]
+        oo = chain1(prevO, eRrow, aR, g_o2[None, :])
+        Orows = flip(Ot, j, Wp + 1)                # [w', S, B]
+        mO = _finmax(Orows, (0, 1))[None, None, :]
+        exO = jnp.exp(Orows - mO)
+        mP = _finmax(Pcol, (0, 1))[None, None, :]
+        tot = None
+        for b in range(2):
+            exP = jnp.exp(Pcol - mP) * h["eext"][b][j][:, None, :]
+            Gb = jnp.einsum("wab,wcb->acb", exP, exO,
+                            preferred_element_type=dtype)
+            ob = jnp.einsum("qb,qt->tb",
+                            Gb.reshape(S * S, -1), Hop[b],
+                            preferred_element_type=dtype)
+            tot = ob if tot is None else tot + ob
+        op_term = _safe_log(tot, dtype) + mP[0] + mO[0]
+        return logadd(oo, op_term)
+
+    def col_update(tabs, j, d: DiffFactors, c: ConstFactors, h):
+        LLt, Pt, Et, Mt, Bt, T1t, T2t, Ot = tabs
+        i_of_w = j - warr
+        lamv = d.lam[bucket]                       # [S]
+        eRrow = d.eR[jnp.clip(j - 1, 0, Lp - 1)]   # [S, B]
+        aR = aux_row(d.auxR, j - 1) if dims.with_aux else None
+        g_o2 = c.gate_O2[jnp.clip(j - 1, 0, Lp - 1)]  # [B]
+
+        prevL = LLt[j - 1 + PAD]
+        prevP = Pt[j - 1 + PAD]
+        prevE = Et[j - 1 + PAD]
+        prev2 = T2t[j - 1 + PAD]
+
+        # U1: ST_L chain (motif_model.hpp:243-257)
+        Lcol = chain(_shift_w(prevL, 1), eRrow, aR)
+        Lcol = Lcol.at[0].set(diag_col[:, None])
+        LLt = LLt.at[j + PAD].set(Lcol)
+
+        # U2: P (TT_P_E / TT_P_P)
+        Pcol = p_col(d, c, j, i_of_w, _shift_w(prevE, 2),
+                     _shift_w(prevP, 2), lamv)
+        Pt = Pt.at[j + PAD].set(Pcol)
+
+        # U3: 2 (TT_2_2 / TT_2_P)
+        T2col = logadd(
+            chain(_shift_w(prev2, 1), eRrow, aR) + g_o2[None, None, :],
+            Pcol + lam_mul(lamv[None, :, None], c.ml2[j][:, None, :]))
+        T2col = mask_neg(T2col, c.okB[j][:, None, :])
+        T2t = T2t.at[j + PAD].set(T2col)
+
+        # U4: B (TT_B_12)
+        Bcol = b_col(c, j, T1t, T2col)
+        Bt = Bt.at[j + PAD].set(Bcol)
+
+        # U5: 1 (TT_1_2 / TT_1_B)
+        T1col = mask_neg(logadd(T2col, Bcol), c.okB[j][:, None, :])
+        T1t = T1t.at[j + PAD].set(T1col)
+
+        # U6: M chain (TT_M_M / TT_M_B)
+        Mcol = m_col(d, c, j, Bcol, Lcol.dtype)
+        Mt = Mt.at[j + PAD].set(Mcol)
+
+        # U7: E (TT_E_H / TT_E_M / TT_E_P)
+        hterm = jnp.where(
+            loopm[None, :, None],
+            Lcol + lam_mul(lamv[None, :, None], c.hp[j][:, None, :]), NEG)
+        mterm = Mcol + lam_mul(lamv[None, :, None], c.mlE[j][:, None, :])
+        ep_term = ep_col(d, c, h, j, Pt, LLt, Lcol)
+        Ecol = logadd(logadd(hterm, mterm), ep_term)
+        Ecol = mask_neg(Ecol, c.okE[j][:, None, :])
+        Et = Et.at[j + PAD].set(Ecol)
+
+        # U8: O (TT_O_O / TT_O_OP)
+        Ocol = o_col(d, c, h, j, Ot, Pcol, eRrow, g_o2, aR)
+        Ot = Ot.at[j + PAD].set(Ocol)
+
+        return (LLt, Pt, Et, Mt, Bt, T1t, T2t, Ot)
+
+    def init_tabs(B):
+        z3 = jnp.full((Lp + 1 + PAD, Wp + 1, S, B), NEG, dtype)
+        LLt = z3.at[PAD:, 0, :, :].set(diag_col[:, None])
+        Ot = jnp.full((Lp + 1 + PAD, S, B), NEG, dtype)
+        Ot = Ot.at[PAD].set(
+            jnp.where(jnp.arange(S)[:, None] == end_states[0], 0.0, NEG)
+            .astype(dtype))
+        return (LLt, z3, z3, z3, z3, z3, z3, Ot)
+
+    def inside_tables(d: DiffFactors, c: ConstFactors):
+        h = hoisted(d, c)
+        B = c.wsp.shape[-1]
+
+        def body(tabs, j):
+            return col_update(tabs, j, d, c, h), None
+
+        tabs, _ = jax.lax.scan(body, init_tabs(B), jnp.arange(1, Lp + 1))
+        return tabs
+
+    def _extract_parts(Ofin, c):
+        # parts[b, k] = O[L_b, end_states[k], b]
+        Ob = jnp.moveaxis(Ofin, -1, 0)             # [B, rows, S]
+        idx = jnp.broadcast_to((c.L + PAD)[:, None, None],
+                               (Ob.shape[0], 1, Ob.shape[2]))
+        rows = jnp.take_along_axis(Ob, idx, axis=1)[:, 0, :]   # [B, S]
+        return rows[:, end_states]                  # [B, 3]
+
+    @jax.custom_vjp
+    def dp_parts(d: DiffFactors, c: ConstFactors):
+        tabs = inside_tables(d, c)
+        return _extract_parts(tabs[-1], c)
+
+    def dp_fwd(d, c):
+        tabs = inside_tables(d, c)
+        return _extract_parts(tabs[-1], c), (d, c, tabs)
+
+    def dp_bwd(res, gbar):
+        d, c, tabs = res
+        B = c.wsp.shape[-1]
+        u_tabs = jax.tree.map(jnp.zeros_like, tabs)
+        # scatter gbar [B,3] into the O cotangent at (L_b + PAD, es_k, b)
+        ge = jnp.zeros((S, B), dtype).at[end_states, :].add(gbar.T)
+        onehot_L = (jnp.arange(Lp + 1 + PAD)[:, None]
+                    == (c.L + PAD)[None, :]).astype(dtype)
+        uO = u_tabs[-1] + onehot_L[:, None, :] * ge[None, :, :]
+        u_tabs = u_tabs[:-1] + (uO,)
+        d_zero = jax.tree.map(jnp.zeros_like, d)
+
+        h, h_vjp = jax.vjp(lambda dd: hoisted(dd, c), d)
+
+        # Re-running each column against the FINAL tables reproduces the
+        # forward values exactly: reads of rows >= j are either freshly
+        # overwritten this column (vjp routes their cotangent into the
+        # new column) or provably zero-weighted (T1 row j via the dk=0
+        # guard, O row j via the okP(w=0) gate).
+        def body(carry, j):
+            u_t, d_acc, h_acc = carry
+            _, vjp_fn = jax.vjp(
+                lambda tb, dd, hh: col_update(tb, j, dd, c, hh),
+                tabs, d, h)
+            du_tabs, dd, dh = vjp_fn(u_t)
+            d_acc = jax.tree.map(jnp.add, d_acc, dd)
+            h_acc = jax.tree.map(jnp.add, h_acc, dh)
+            return (du_tabs, d_acc, h_acc), None
+
+        h_zero = jax.tree.map(jnp.zeros_like, h)
+        (_, d_acc, h_acc), _ = jax.lax.scan(
+            body, (u_tabs, d_zero, h_zero), jnp.arange(Lp, 0, -1))
+        (dh_d,) = h_vjp(h_acc)
+        d_acc = jax.tree.map(jnp.add, d_acc, dh_d)
+        c_zero = jax.tree.map(_zero_cotangent, c)
+        return d_acc, c_zero
+
+    dp_parts.defvjp(dp_fwd, dp_bwd)
+    return dp_parts, inside_tables
 
 
 def _zero_cotangent(x):
@@ -176,276 +716,3 @@ def _zero_cotangent(x):
     if jnp.issubdtype(x.dtype, jnp.inexact):
         return jnp.zeros_like(x)
     return np.zeros(x.shape, jax.dtypes.float0)
-
-
-def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64,
-             semiring: str = "sum"):
-    """Build (dp_parts, inside_tables) for one compiled grammar + dims.
-
-    dp_parts(diff, const) -> [3] log partition parts at inside_o(L, s) for
-    end states (0,0), (0,M-2), (0,M-1) (motif_trainer.hpp:108-112).
-    inside_tables(diff, const) -> full inside tables
-    (LL, P, E, M, B, T1, T2, O).
-
-    semiring="max" turns the same recursion into the Viterbi/CYK DP
-    (motif_scanner.hpp:802-913); tracebacks recompute per-cell argmaxes
-    on the host from the returned tables (scan/cyk.py).
-    """
-    if semiring == "max":
-        _lse = lambda x, axis=-1: jnp.max(x, axis=axis)
-        _logadd = jnp.maximum
-        _seg = lambda v, s, n: jax.ops.segment_max(v, s, num_segments=n)
-    else:
-        _lse, _logadd, _seg = lse, logadd, seg_lse
-    gc = make_consts(g)
-    Lp, Wp, Cp, S = dims.Lp, dims.Wp, dims.Cp, dims.S
-    QC = min(dims.QC, max(1, len(gc["ep"])))
-
-    diag = jnp.asarray(gc["diag"])
-    loopm = jnp.asarray(gc["loop"])
-    bucket = jnp.asarray(gc["bucket"])
-    pt_mask = jnp.asarray(gc["pt"])
-    pt_isbp = jnp.asarray(gc["pt_isbp"])
-    pt_tabd = jnp.asarray(gc["pt_tabd"])
-    pt_wl = jnp.asarray(gc["pt_wl"])
-    pt_wr = jnp.asarray(gc["pt_wr"])
-    op_s, op_s1, op_s2 = (jnp.asarray(gc["op"][:, k]) for k in range(3))
-    b12_s, b12_s1, b12_s2 = (jnp.asarray(gc["b12"][:, k]) for k in range(3))
-    ep_pad, ep_qmask_np = _pad_tuples(gc["ep"], QC)
-    ep_s = jnp.asarray(ep_pad[:, 0])
-    ep_s1 = jnp.asarray(ep_pad[:, 1])
-    ep_s2 = jnp.asarray(ep_pad[:, 2])
-    ep_s3 = jnp.asarray(ep_pad[:, 3])
-    ep_qmask = jnp.asarray(ep_qmask_np, dtype)
-    NQCH = len(ep_pad) // QC
-    end_states = jnp.asarray(gc["end"])
-
-    warr = jnp.arange(Wp + 1)
-    dlarr = jnp.arange(Cp + 1)
-    diag_col = jnp.where(diag, 0.0, NEG).astype(dtype)
-
-    if semiring == "sum":
-        energy_np = {k: np.asarray(v) for k, v in energy_tab.items()
-                     if k in ("internal", "ninio", "bulge")}
-        ep_static = EPF.build_ep_static(g, Cp, energy_np, dims.no_ene)
-        ep_term_fast = EPF.make_ep_term(g, dims, energy_tab, ep_static,
-                                        dtype)
-    else:
-        ep_term_fast = None
-
-    def aux_row(aux, p):
-        return aux[jnp.clip(p, 0, Lp - 1)]
-
-    def pem_col(d: DiffFactors, c: ConstFactors, j, i_of_w):
-        """Pair emission tensor [Wp+1, S, S] for column j
-        (profile_hmm.hpp:113-135 via motif_model.hpp:271-299)."""
-        bgl = d.bg2[jnp.clip(i_of_w, 0, Lp - 1)]
-        bgr = d.bg2[jnp.clip(j - 1, 0, Lp - 1)]
-        bg_part = (bgl + bgr)[:, None, None]
-        pvj = d.pv[j]                           # [Wp+1, Tp]
-        bp_part = pvj[:, pt_tabd]               # [Wp+1, S, S]
-        wl = c.wsp[jnp.clip(i_of_w, 0, Lp - 1)][:, None, None]
-        wr = c.wsp[jnp.clip(j - 1, 0, Lp - 1)]
-        bp_part = bp_part + jnp.where(pt_wl, wl, 0.0) \
-            + jnp.where(pt_wr, wr, 0.0)
-        pem = jnp.where(pt_isbp, bp_part, bg_part)
-        pem = jnp.where(pt_mask, pem + c.TPm, NEG)
-        if dims.with_aux:
-            pem = pem + aux_row(d.auxPL, i_of_w) + d.auxPR[
-                jnp.clip(j - 1, 0, Lp - 1)]
-        return pem
-
-    def col_update(tabs, j, d: DiffFactors, c: ConstFactors):
-        LLt, Pt, Et, Mt, Bt, T1t, T2t, Ot = tabs
-        i_of_w = j - warr
-        lamv = d.lam[bucket]                    # [S]
-        eRrow = d.eR[jnp.clip(j - 1, 0, Lp - 1)]
-        aR = aux_row(d.auxR, j - 1) if dims.with_aux else None
-        g_o2 = c.gate_O2[jnp.clip(j - 1, 0, Lp - 1)]
-
-        prevL, prevP, prevE, prev2 = (LLt[j - 1], Pt[j - 1], Et[j - 1],
-                                      T2t[j - 1])
-        prevO = Ot[j - 1]
-
-        def chain(src):
-            t = src[:, None, :] + c.TR[None, :, :]
-            if aR is not None:
-                t = t + aR[None, :, :]
-            return _lse(t, axis=-1) + eRrow[None, :]
-
-        # U1: ST_L chain (motif_model.hpp:243-257)
-        Lcol = chain(_shift_w(prevL, 1))
-        Lcol = Lcol.at[0].set(diag_col)
-        LLt = LLt.at[j].set(Lcol)
-
-        # U2: P (TT_P_E / TT_P_P)
-        pem = pem_col(d, c, j, i_of_w)
-        a_pe = _lse(pem + _shift_w(prevE, 2)[:, None, :], axis=-1)
-        a_pp = _lse(pem + _shift_w(prevP, 2)[:, None, :], axis=-1)
-        Pcol = _logadd(a_pe, a_pp + lam_mul(lamv[None, :],
-                                           c.stk[j][:, None]))
-        Pcol = Pcol + d.alphaP[j][:, None]
-        Pcol = mask_neg(Pcol, c.okP[j][:, None])
-        Pt = Pt.at[j].set(Pcol)
-
-        # U3: 2 (TT_2_2 / TT_2_P)
-        T2col = _logadd(chain(_shift_w(prev2, 1)) + g_o2,
-                       Pcol + lam_mul(lamv[None, :], c.ml2[j][:, None]))
-        T2col = mask_neg(T2col, c.okB[j][:, None])
-        T2t = T2t.at[j].set(T2col)
-
-        # U4: B (TT_B_12): B(i,j) = sum_k 1(i,k) * 2(k,j)
-        # X1[w, dk] = T1[j-(w-dk), dk]: flip block + static-index shear
-        T1F = _flip_rows(T1t, j, Wp + 1)        # [m, dk, S]
-        mw_idx = jnp.clip(warr[:, None, None] - warr[None, :, None],
-                          0, Wp)                # [w, dk, 1]
-        X1 = jnp.take_along_axis(T1F, mw_idx, axis=0)  # [w, dk, S]
-        dk_ok = (warr[None, :] >= 1) & (warr[None, :] <= warr[:, None] - 1)
-        X2 = T2col[jnp.clip(warr[:, None] - warr[None, :], 0, Wp)]
-        Y = X1[:, :, b12_s1] + X2[:, :, b12_s2]
-        Y = jnp.where(dk_ok[:, :, None], Y, NEG)
-        Bcol = _seg(_lse(Y, axis=1).T, b12_s, S).T
-        Bcol = mask_neg(Bcol, c.okB[j][:, None])
-        Bt = Bt.at[j].set(Bcol)
-
-        # U5: 1 (TT_1_2 / TT_1_B)
-        T1col = mask_neg(_logadd(T2col, Bcol), c.okB[j][:, None])
-        T1t = T1t.at[j].set(T1col)
-
-        # U6: M chain (TT_M_M / TT_M_B): sequential affine recurrence
-        # with the shared transition matrix (vector-only traffic per
-        # step; motif_model.hpp:346-366)
-        iw = jnp.clip(j - warr, 0, Lp - 1)
-        eLrows = d.eL[iw]                        # [w, S] source-indexed
-        gMs = c.gate_M[iw]
-        bvecs = mask_neg(Bcol, c.okM[j][:, None])
-        okMj = c.okM[j]
-        auxLrows = d.auxL[iw] if dims.with_aux else None
-
-        def m_step(x, blk):
-            if dims.with_aux:
-                eb, gb, bb, ob, ab = blk
-                t = x[None, :] + c.TL + eb[None, :] + gb + ab
-            else:
-                eb, gb, bb, ob = blk
-                t = x[None, :] + c.TL + eb[None, :] + gb
-            cur = mask_neg(_logadd(bb, _lse(t, axis=-1)), ob)
-            return cur, cur
-
-        xs = (eLrows, gMs, bvecs, okMj) if not dims.with_aux else \
-            (eLrows, gMs, bvecs, okMj, auxLrows)
-        _, Mcol = jax.lax.scan(m_step, jnp.full((S,), NEG, dtype), xs)
-        Mt = Mt.at[j].set(Mcol)
-
-        # U7: E (TT_E_H / TT_E_M / TT_E_P)
-        hterm = jnp.where(loopm[None, :],
-                          Lcol + lam_mul(lamv[None, :], c.hp[j][:, None]),
-                          NEG)
-        mterm = Mcol + lam_mul(lamv[None, :], c.mlE[j][:, None])
-
-        if ep_term_fast is not None:
-            ep_term = ep_term_fast(d, c, j, Pt, LLt, Lcol)
-        else:
-            il = iloop_scores(
-                energy_tab, c.seq, j, Wp, Cp, c.C, dims.no_ene,
-                c.dots_cum if dims.fix_rss else None)
-            PK = Pt[jnp.clip(j - dlarr, 0, Lp)]      # [dl, v, S]
-            rows_ik = jnp.clip(j - warr[:, None] + dlarr[None, :], 0, Lp)
-            LLik = LLt[rows_ik, dlarr[None, :], :]   # [w, dk, S]
-            LLr = Lcol[: Cp + 1]                     # [dl, S]
-            v = warr[:, None, None] - dlarr[None, :, None] \
-                - dlarr[None, None, :]
-            vc = jnp.clip(v, 0, Wp)
-
-            def ep_chunk(cidx, acc):
-                q_s = jax.lax.dynamic_slice(ep_s, (cidx * QC,), (QC,))
-                q_s1 = jax.lax.dynamic_slice(ep_s1, (cidx * QC,), (QC,))
-                q_s2 = jax.lax.dynamic_slice(ep_s2, (cidx * QC,), (QC,))
-                q_s3 = jax.lax.dynamic_slice(ep_s3, (cidx * QC,), (QC,))
-                q_m = jax.lax.dynamic_slice(ep_qmask, (cidx * QC,), (QC,))
-                lamq = d.lam[bucket[q_s]]
-                pk = PK[dlarr[None, None, :, None], vc[..., None],
-                        q_s1[None, None, None, :]]   # [w, dk, dl, QC]
-                ll2 = LLik[:, :, None, q_s2]         # [w, dk, 1, QC]
-                ll3 = LLr[None, None, :, q_s3]       # [1, 1, dl, QC]
-                ilq = lam_mul(lamq[None, None, None, :], il[..., None])
-                term = pk + ll2 + ll3 + ilq + q_m
-                red = _lse(term.reshape(Wp + 1, -1, QC), axis=1)
-                return _logadd(acc, _seg(red.T, q_s, S).T)
-
-            ep_term = jax.lax.fori_loop(
-                0, NQCH, ep_chunk, jnp.full((Wp + 1, S), NEG, dtype))
-        Ecol = _logadd(_logadd(hterm, mterm), ep_term)
-        Ecol = mask_neg(Ecol, c.okE[j][:, None])
-        Et = Et.at[j].set(Ecol)
-
-        # U8: O (TT_O_O / TT_O_OP)
-        t = prevO[None, :] + c.TR
-        if aR is not None:
-            t = t + aR
-        oo = _lse(t, axis=-1) + eRrow + g_o2
-        Orows = _flip_rows(Ot, j, Wp + 1)            # [w', S]
-        base = Orows[:, None, :] + Pcol[:, :, None]  # [w', s1, s2]
-        D = jnp.stack([
-            _lse(base + lam_mul(d.lam[b], c.ext[j])[:, None, None], axis=0)
-            for b in range(2)])                      # [2, S, S]
-        op_term = _seg(D[bucket[op_s], op_s1, op_s2], op_s, S)
-        Ocol = _logadd(oo, op_term)
-        Ot = Ot.at[j].set(Ocol)
-
-        return (LLt, Pt, Et, Mt, Bt, T1t, T2t, Ot)
-
-    def init_tabs():
-        z3 = jnp.full((Lp + 1, Wp + 1, S), NEG, dtype)
-        LLt = z3.at[:, 0, :].set(diag_col)
-        Ot = jnp.full((Lp + 1, S), NEG, dtype)
-        Ot = Ot.at[0].set(
-            jnp.where(jnp.arange(S) == end_states[0], 0.0, NEG)
-            .astype(dtype))
-        return (LLt, z3, z3, z3, z3, z3, z3, Ot)
-
-    def inside_tables(d: DiffFactors, c: ConstFactors):
-        def body(tabs, j):
-            return col_update(tabs, j, d, c), None
-        tabs, _ = jax.lax.scan(body, init_tabs(), jnp.arange(1, Lp + 1))
-        return tabs
-
-    @jax.custom_vjp
-    def dp_parts(d: DiffFactors, c: ConstFactors):
-        tabs = inside_tables(d, c)
-        return tabs[-1][c.L][end_states]
-
-    def dp_fwd(d, c):
-        tabs = inside_tables(d, c)
-        return tabs[-1][c.L][end_states], (d, c, tabs)
-
-    def dp_bwd(res, gbar):
-        d, c, tabs = res
-        u_tabs = jax.tree.map(jnp.zeros_like, tabs)
-        uO = u_tabs[-1].at[c.L, end_states].add(gbar)
-        u_tabs = u_tabs[:-1] + (uO,)
-        d_zero = jax.tree.map(jnp.zeros_like, d)
-
-        # The pre-column table state need not be reconstructed: within
-        # col_update, every read of a row >= j either happens after that
-        # row was functionally overwritten this column (so the vjp routes
-        # its cotangent into the freshly computed column, not the input)
-        # or is provably masked to -inf (O row j via the w'=0 exterior
-        # split, gated by okP).  Passing the final tables therefore
-        # reproduces the forward values exactly and jax.vjp of the column
-        # update *is* the outside recursion.
-        def body(carry, j):
-            u_t, d_acc = carry
-            _, vjp_fn = jax.vjp(
-                lambda tb, dd: col_update(tb, j, dd, c), tabs, d)
-            du_tabs, dd = vjp_fn(u_t)
-            d_acc = jax.tree.map(jnp.add, d_acc, dd)
-            return (du_tabs, d_acc), None
-
-        (_, d_acc), _ = jax.lax.scan(
-            body, (u_tabs, d_zero), jnp.arange(Lp, 0, -1))
-        c_zero = jax.tree.map(_zero_cotangent, c)
-        return d_acc, c_zero
-
-    dp_parts.defvjp(dp_fwd, dp_bwd)
-    return dp_parts, inside_tables

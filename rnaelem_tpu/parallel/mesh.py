@@ -30,14 +30,7 @@ def data_mesh(devices=None) -> Mesh:
 
 
 def _local_total(cfg, lik_ratio, p, batch):
-    f, eff = jax.vmap(
-        lambda sd, ra, sg, ng, bk, ef: OBJ._read_f(
-            cfg, p, sd, ra, sg, ng, lik_ratio, bk, ef)
-    )(batch.sd, batch.restrict_ari, batch.lik_sign, batch.is_neg,
-      batch.bp_ok, batch.eff)
-    f = jnp.where(batch.valid, f, 0.0)
-    eff = jnp.where(batch.valid, eff, 0.0)
-    return f.sum(), eff.sum()
+    return OBJ.batch_total(cfg, p, batch, lik_ratio)
 
 
 def make_sharded_fn_grad(cfg: J.ModelConfig, mesh: Mesh,

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..model import joint as J
-from ..ops import dp as DP
+from ..ops import dp_max as DP
 
 NEG = -np.inf
 # energy-state ids for the host traceback stack
@@ -33,7 +33,7 @@ LLs, Ps, Es, Ms, Bs, S1s, S2s, Os = range(8)
 @functools.lru_cache(maxsize=32)
 def _cyk_kernel(cfg: J.ModelConfig):
     k = J.kernels(cfg)
-    _, tables = DP.build_dp(k.g, k.dims, k.tab,
+    _, tables = DP.build_dp(k.g, k.dims_max, k.tab,
                             jnp.dtype(cfg.dtype), semiring="max")
     return jax.jit(tables)
 

@@ -106,35 +106,36 @@ def stack_reads(cfg: J.ModelConfig, reads, negatives=None,
 def batch_bp_masks(cfg: J.ModelConfig, sd_batch):
     """Vectorized min-BPP pruning masks for a stacked SeqData batch."""
     J.kernels(cfg)
-    return _batch_bp_masks_jit(cfg, sd_batch)
+    return J._effective_bp_mask_batch_jit(cfg, sd_batch)
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def _batch_bp_masks_jit(cfg, sd_batch):
-    return jax.vmap(lambda sd: J._effective_bp_mask_jit(cfg, sd))(sd_batch)
+def batch_total(cfg: J.ModelConfig, params: J.Params, batch: BatchData,
+                lik_ratio: bool):
+    """(sum f, sum eff) over the batch through the batched DP.
 
-
-def _read_f(cfg, params, sd, restrict_ari, lik_sign, is_neg,
-            lik_ratio: bool, bp_ok=None, eff=None):
-    if bp_ok is None:
-        parts, eff = J.logZ_parts(cfg, params, sd, with_eff=True)
-    else:
-        parts = J._logZ_parts_jit(cfg, params, sd, None, bp_ok, False)
+    Per-read objective terms and skip rules follow
+    motif_trainer.hpp:156-245: default mode f += Z(all) - Z(restricted);
+    lik-ratio mode f += sign * (Z(motif) - Z(all)); reads with a
+    non-finite partition function contribute nothing."""
+    parts = J._batch_logZ_parts_jit(cfg, params, batch.sd, None,
+                                    batch.bp_ok)        # [B, 3]
     z_all = lse(parts, axis=-1)
-    z_ari = lse(jnp.where(jnp.asarray([False, True, True]), parts, NEG),
-                axis=-1)
-    z_nasi = parts[0]
+    z_ari = lse(jnp.where(jnp.asarray([False, True, True])[None],
+                          parts, NEG), axis=-1)
+    z_nasi = parts[:, 0]
     if lik_ratio:
-        f = lik_sign * (z_ari - z_all)
+        f = batch.lik_sign * (z_ari - z_all)
         ok = jnp.isfinite(z_all) & jnp.isfinite(z_ari)
     else:
-        z_restr = jnp.where(restrict_ari, z_ari, z_nasi)
+        z_restr = jnp.where(batch.restrict_ari, z_ari, z_nasi)
         f = z_all - z_restr
         # skip checks: positives require finite Z(all) and Z(ari)
         # regardless of label; negatives only finite Z(all)
         # (motif_trainer.hpp:211-214, 236-239)
-        ok = jnp.isfinite(z_all) & (is_neg | jnp.isfinite(z_ari))
-    return jnp.where(ok, f, 0.0), jnp.where(is_neg, 0.0, eff)
+        ok = jnp.isfinite(z_all) & (batch.is_neg | jnp.isfinite(z_ari))
+    f = jnp.where(ok & batch.valid, f, 0.0)
+    eff = jnp.where(batch.valid & ~batch.is_neg, batch.eff, 0.0)
+    return f.sum(), eff.sum()
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3))
@@ -143,14 +144,7 @@ def batch_fn_grad(cfg: J.ModelConfig, params: J.Params, batch: BatchData,
     """(fn, grads, sum_eff) over a batch; grads is a Params pytree."""
 
     def total(p):
-        f, eff = jax.vmap(
-            lambda sd, ra, sg, ng, bk, ef: _read_f(
-                cfg, p, sd, ra, sg, ng, lik_ratio, bk, ef)
-        )(batch.sd, batch.restrict_ari, batch.lik_sign, batch.is_neg,
-          batch.bp_ok, batch.eff)
-        f = jnp.where(batch.valid, f, 0.0)
-        eff = jnp.where(batch.valid, eff, 0.0)
-        return f.sum(), eff.sum()
+        return batch_total(cfg, p, batch, lik_ratio)
 
     (fn, eff), grads = jax.value_and_grad(total, has_aux=True)(params)
     return fn, grads, eff

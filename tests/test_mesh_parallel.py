@@ -26,8 +26,7 @@ def _toy_batch(cfg, n, seed=0):
 def test_psum_grad_equals_single_device():
     assert len(jax.devices()) >= 8, jax.devices()
     cfg = J.ModelConfig(pattern="(...)", Lp=24, max_span=24, max_iloop=8,
-                        min_bpp=0.0, tau=0.1, dtype="float64",
-                        qc_chunk=16)
+                        min_bpp=0.0, tau=0.1, dtype="float64")
     params = J.init_params(J.kernels(cfg).g, cfg, jnp.float64)
     batch = _toy_batch(cfg, 8)
 
@@ -46,8 +45,7 @@ def test_psum_grad_equals_single_device():
 
 def test_padded_batch_rows_are_inert():
     cfg = J.ModelConfig(pattern="(...)", Lp=24, max_span=24, max_iloop=8,
-                        min_bpp=0.0, tau=0.1, dtype="float64",
-                        qc_chunk=16)
+                        min_bpp=0.0, tau=0.1, dtype="float64")
     params = J.init_params(J.kernels(cfg).g, cfg, jnp.float64)
     batch = _toy_batch(cfg, 5)
     fn1, gr1, _ = OBJ.batch_fn_grad(cfg, params, batch)

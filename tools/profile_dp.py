@@ -49,7 +49,7 @@ def main():
     # 2. forward-only joint parts (vmap over batch)
     @jax.jit
     def fwd_only(params, sd, bp_ok):
-        return jax.vmap(lambda s, b: J._logZ_parts_jit(cfg, params, s, None, b, False))(sd, bp_ok)
+        return J._batch_logZ_parts_jit(cfg, params, sd, None, bp_ok)
     timeit("joint forward only (batch)", lambda: fwd_only(params, batch.sd, batch.bp_ok))
 
     # 3. full fn+grad
@@ -58,7 +58,7 @@ def main():
     # 4. factors-only
     @jax.jit
     def factors_only(params, sd, bp_ok):
-        return jax.vmap(lambda s, b: J.factors(cfg, params, s, b))(sd, bp_ok)
+        return J.batch_factors(cfg, params, sd, bp_ok)
     timeit("factor construction only", lambda: factors_only(params, batch.sd, batch.bp_ok))
 
 
