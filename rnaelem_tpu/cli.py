@@ -72,6 +72,16 @@ def build_parser():
     p.add_argument("--dtype", default=None,
                    help="float32 (TPU default) or float64 (CPU default)")
     p.add_argument("--pict", dest="pic_fname", default="~NONE~")
+    # multi-chip / multi-host (replaces the reference's SGE TR_ARRAY
+    # loop, motif_trainer.hpp:608-614, with one SPMD program)
+    p.add_argument("--mesh", type=int, default=-1,
+                   help="data-parallel mesh size: -1 auto (all local "
+                        "devices when >1), 0 off, N first N devices")
+    p.add_argument("--coordinator", default="",
+                   help="jax.distributed coordinator address "
+                        "(host:port) for multi-host meshes")
+    p.add_argument("--num-processes", type=int, default=0)
+    p.add_argument("--process-id", type=int, default=-1)
     return p
 
 
@@ -134,6 +144,20 @@ def _parse_param_set(s):
     return out or None
 
 
+def _build_mesh(args):
+    """Data mesh from --mesh: -1 = all local devices when more than one,
+    0 = off, N = first N devices."""
+    if args.mesh == 0:
+        return None
+    import jax
+    devs = jax.devices()
+    n = len(devs) if args.mesh < 0 else args.mesh
+    if n <= 1:
+        return None
+    from .parallel.mesh import data_mesh
+    return data_mesh(devs[:n])
+
+
 def do_train(args, also_scan: bool):
     import dataclasses as dc
     from .model import io as MIO
@@ -142,14 +166,19 @@ def do_train(args, also_scan: bool):
     cfg, params = _load_or_build_model(args, Lp)
     if cfg.Lp < Lp:
         cfg = dc.replace(cfg, Lp=Lp)
+    mesh = _build_mesh(args)
     print("motif pattern:", cfg.pattern, file=sys.stderr)
     print("batch size:", args.batch_size, file=sys.stderr)
+    if mesh is not None:
+        print("mesh:", mesh.devices.size, "devices (data-parallel)",
+              file=sys.stderr)
     interim = _out_stream(args.out3) if args.out3 != "~COUT~" else None
     tr = Trainer(cfg, params, max_iter=args.max_iter, eps=args.epsilon,
                  lambda_init=args.lambda_init, kmer_shuf=args.kmer_shuf,
                  batch_size=args.batch_size, no_shuffle=args.no_shuffle,
                  lik_ratio=args.lik_ratio, interim_out=interim,
-                 mask_indices=_parse_param_set(args.param_set))
+                 mask_indices=_parse_param_set(args.param_set),
+                 mesh=mesh)
     tr.set_fq(args.seq_fname)
     params = tr.train()
     out1 = _out_stream(args.out1)
@@ -238,6 +267,15 @@ def _setup_jax_cache():
 def main(argv=None):
     _setup_jax_cache()
     args = build_parser().parse_args(argv)
+    if args.coordinator:
+        # multi-host entry point: every host runs the same command with
+        # its own --process-id; jax.devices() then spans the pod
+        import jax
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes or None,
+            process_id=(args.process_id
+                        if args.process_id >= 0 else None))
     if (args.dtype or _default_dtype()) == "float64":
         import jax
         jax.config.update("jax_enable_x64", True)

@@ -223,7 +223,12 @@ def _band_masks(cfg: ModelConfig, k: _Kernels, sd: SeqData, bp_ok):
     i = j - w
     L = sd.L
     W = jnp.minimum(L, cfg.max_span)
-    okP = (i >= 0) & (w <= W) & bp_ok
+    # w > 0 is a hard invariant of the DP's custom VJP: the O-column
+    # update reads P row j at width 0, which must be zero-weighted for
+    # the reverse column re-run to reproduce forward values (ops/dp.py
+    # dp_bwd); arbitrary bp_ok inputs (fix_rss, external caches) are
+    # forced through it here.
+    okP = (i >= 0) & (w > 0) & (w <= W) & bp_ok
     # okE: pair (i-1, j) => bp cell (j+1, w+2)
     src = jnp.pad(bp_ok, ((0, 1), (0, 2)))[1:, 2:]
     okE = (i > 0) & (w + 2 <= W) & src
@@ -421,6 +426,41 @@ def batch_factors(cfg: ModelConfig, params: Params, sd_b: SeqData,
     return _to_batched(d_lead, c_lead, params.lam.astype(dtype))
 
 
+def batch_factors_pr(cfg: ModelConfig, params_b: Params, sd_b: SeqData,
+                     bp_ok_b):
+    """Batched factors from PER-READ parameter copies (leading B axis on
+    every Params leaf).  Gradients w.r.t. params_b come back with the
+    batch axis intact, giving exact per-read gradient contributions —
+    the basis for the order-deterministic host reduction that makes
+    single-device and mesh-sharded training bit-identical
+    (cf. the reference's text-file all-reduce,
+    motif_array_trainer.hpp:20-58, which is also order-deterministic)."""
+    k = kernels(cfg)
+    dtype = jnp.dtype(cfg.dtype)
+
+    def one(p, sd, bp):
+        d = _diff_factors_single(cfg, p, sd, None, DPM)
+        c = _const_factors_single(cfg, k, sd, bp, dtype)
+        return d, c
+
+    d_lead, c_lead = jax.vmap(one)(params_b, sd_b, bp_ok_b)
+    lam_b = jnp.moveaxis(params_b.lam.astype(dtype), 0, -1)   # [2, B]
+    return _to_batched(d_lead, c_lead, lam_b)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _batch_logZ_parts_pr_jit(cfg: ModelConfig, params_b: Params,
+                             sd_b: SeqData, bp_ok_b):
+    """[B, 3] log partition parts with per-read parameter copies."""
+    k = kernels(cfg)
+    if cfg.no_rss:
+        return jax.vmap(
+            lambda p, sd: _linear_parts_one(cfg, p, sd, None)
+        )(params_b, sd_b)
+    d, c = batch_factors_pr(cfg, params_b, sd_b, bp_ok_b)
+    return k.dp_parts(d, c)
+
+
 def _null_batch_factors(cfg: ModelConfig, k: _Kernels, sd_b: SeqData,
                         bp0_b, dtype):
     """Batched factors for the motif-free McCaskill pass (BPP pruning)."""
@@ -478,7 +518,7 @@ def _effective_bp_mask_batch_jit(cfg: ModelConfig, sd_b: SeqData):
     if cfg.fix_rss:
         return sd_b.rss_pair, sd_b.rss_pair.sum(axis=(1, 2)) / total
     if cfg.min_bpp <= 0 or cfg.no_rss:
-        return bp0, jnp.ones(bp0.shape[0])
+        return bp0, jnp.ones(bp0.shape[0], jnp.dtype(cfg.dtype))
     _, post, _ = _bpp_posterior_batch_jit(cfg, sd_b)
     keep = bp0 & (jnp.log(jnp.maximum(post, 1e-300))
                   >= np.log(cfg.min_bpp))

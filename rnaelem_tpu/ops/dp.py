@@ -40,11 +40,16 @@ finalized values (the i-descending order of energy_model.hpp:340-441).
 """
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# perf-bisect hook (trace-time static): RNAELEM_ABLATE=ep,b,m,o,p,spec
+_ABLATE = frozenset(
+    x for x in os.environ.get("RNAELEM_ABLATE", "").split(",") if x)
 
 from .semiring import NEG, lse, logadd, lam_mul, mask_neg
 from .ep_fast import build_ep_static
@@ -68,7 +73,7 @@ class DiffFactors(NamedTuple):
     eL: jnp.ndarray      # [Lp, S, B] left emission + ws, keyed by source
     bg2: jnp.ndarray     # [Lp, B] background single emission
     pv: jnp.ndarray      # [Lp+1, Wp+1, Tp, B] pair-table emissions
-    lam: jnp.ndarray     # [2]
+    lam: jnp.ndarray     # [2] shared or [2, B] per-read (per-read grads)
     alphaP: jnp.ndarray = None  # [Lp+1, Wp+1, B] injected P-cell factor
     #   (zero; its gradient is the pair posterior — used for BPP)
     auxR: Optional[jnp.ndarray] = None   # [Lp, S, S, B]
@@ -149,16 +154,6 @@ def _pem_combos(g, ltau: float):
     return mbg, combos
 
 
-def _split_by_bucket(tuples, col, bucket):
-    """Sort tuple rows so bucket-0 targets come first; return
-    (sorted_tuples, n_bucket0)."""
-    if len(tuples) == 0:
-        return tuples, 0
-    b = bucket[tuples[:, col]]
-    order = np.argsort(b, kind="stable")
-    return tuples[order], int((b == 0).sum())
-
-
 def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64):
     """Build (dp_parts, inside_tables) for one compiled grammar + dims.
 
@@ -189,8 +184,6 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64):
         np.where(g.rt, np.where(g.rt_tau, tau, 1.0), 0.0), dtype)
     TL = jnp.asarray(np.where(g.lt, np.where(g.lt_tau, ltau, 0.0),
                               -np.inf), dtype)
-    TR_log = jnp.asarray(np.where(g.rt, np.where(g.rt_tau, ltau, 0.0),
-                                  -np.inf), dtype)
 
     mbg_np, combos = _pem_combos(g, ltau)
     Mbg = jnp.asarray(mbg_np, dtype)
@@ -201,6 +194,57 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64):
     pt_wl = jnp.asarray(g.pt_wl)
     pt_wr = jnp.asarray(g.pt_wr)
     TPm = jnp.asarray(np.where(g.pt_tau, ltau, 0.0), dtype)
+
+    # --- TT_E_P chain factorization (motif_model.hpp:315-335) ---
+    # A quadruple (tgt, s1, s2, s3) is a path l -> a -> c -> r through
+    # the node graph: s2=(l,a) left flank, s1=(a,c) inner pair,
+    # s3=(c,r) right flank, tgt=(l,r).  The tuple set is EXACTLY the
+    # product of its pairwise links (verified against profile_hmm
+    # semantics for all pattern shapes), so the 4-state sum factors into
+    # three small contractions instead of one nq-wide enumeration:
+    #   pairs13: distinct (s1, s3) -> AR: distinct (a=s1.l, r=s3.r)
+    #   K2:      distinct (s2, AR) -> target state
+    ep_all = g.ep_tuples if len(g.ep_tuples) else \
+        np.zeros((0, 4), np.int64)
+    l_, r_ = g.state_l, g.state_r
+    pairs13 = sorted(set((int(q[1]), int(q[3])) for q in ep_all))
+    ar_list = sorted(set((int(l_[q[1]]), int(r_[q[3]])) for q in ep_all))
+    ar_of = {p: i for i, p in enumerate(ar_list)}
+    k2_list = sorted(set(
+        (int(q[2]), ar_of[(int(l_[q[1]]), int(r_[q[3]]))])
+        for q in ep_all))
+    n13, n_ar, n2 = len(pairs13), len(ar_list), len(k2_list)
+    have_ep = n13 > 0
+    if have_ep:
+        p13_s1 = np.array([p[0] for p in pairs13])
+        p13_s3 = np.array([p[1] for p in pairs13])
+        p13_ar = np.array([ar_of[(int(l_[p[0]]), int(r_[p[1]]))]
+                           for p in pairs13])
+        k2_s2 = np.array([k[0] for k in k2_list])
+        k2_ar = np.array([k[1] for k in k2_list])
+        k2_tgt = np.array([
+            int(g.n2s[l_[s2], ar_list[ai][1]])
+            for s2, ai in k2_list])
+        assert (k2_tgt >= 0).all()
+        k2_bu = bucket_np[k2_tgt]
+        eyeS = np.eye(S)
+        Hot_s1_13 = jnp.asarray(eyeS[p13_s1].T, dtype)     # [S, n13]
+        Hot_s3_13 = jnp.asarray(eyeS[p13_s3].T, dtype)
+        Hot_13_ar = jnp.asarray(
+            np.eye(n_ar)[p13_ar], dtype)                   # [n13, n_ar]
+        Hot_s2_k2 = jnp.asarray(eyeS[k2_s2].T, dtype)      # [S, n2]
+        Hot_ar_k2 = jnp.asarray(np.eye(n_ar)[k2_ar].T, dtype)
+        Hot_arcat_k2 = jnp.asarray(
+            np.eye(2 * n_ar)[k2_bu * n_ar + k2_ar].T, dtype)
+        Hot_k2_tgt = jnp.asarray(eyeS[k2_tgt], dtype)      # [n2, S]
+        lamk2_idx = jnp.asarray(k2_bu)
+        # anti-diagonal indicator: w = x (inner span) + u1 (left gap)
+        Ind_np = np.zeros((Wp + 1, Cp + 1, Wp + 1))
+        for x_ in range(Wp + 1):
+            for u_ in range(Cp + 1):
+                if x_ + u_ <= Wp:
+                    Ind_np[x_, u_, x_ + u_] = 1.0
+        Ind = jnp.asarray(Ind_np, dtype)
 
     # B_12 splits: exp-matmul over (dk) then static tuple-sum matrix
     Hb12 = np.zeros((S * S, S))
@@ -214,61 +258,42 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64):
         Hop[bucket_np[t], a * S + c2, t] = 1.0
     Hop = [jnp.asarray(Hop[b], dtype) for b in range(2)]
 
-    # TT_E_P quadruples, bucket-sorted so per-bucket slices are static
+    # internal-loop energy size classes (shared with the CYK twin)
     energy_np = {k: np.asarray(v) for k, v in energy_tab.items()
                  if k in ("internal", "ninio", "bulge")}
     est = build_ep_static(g, Cp, energy_np, dims.no_ene)
-    ep_sorted, nq0 = _split_by_bucket(
-        g.ep_tuples if len(g.ep_tuples) else np.zeros((0, 4), np.int64),
-        0, bucket_np)
-    nq = max(1, len(ep_sorted))
-    eye = np.eye(S)
-
-    def hot(col):
-        h = np.zeros((S, nq))
-        if len(ep_sorted):
-            h[ep_sorted[:, col], np.arange(len(ep_sorted))] = 1.0
-        return jnp.asarray(h, dtype)
-
-    H1, H2, H3 = hot(1), hot(2), hot(3)
-    Hseg = np.zeros((nq, S))
-    if len(ep_sorted):
-        Hseg[np.arange(len(ep_sorted)), ep_sorted[:, 0]] = 1.0
-    Hseg = jnp.asarray(Hseg, dtype)
-    q_b = jnp.asarray(bucket_np[ep_sorted[:, 0]]
-                      if len(ep_sorted) else np.zeros(1, np.int64))
-    q_slices = [(0, nq0), (nq0, nq - nq0 if len(ep_sorted) else 0)]
     n_cls = est.SZ.shape[0]
     grp = est.grp
     SZ_np = est.SZ  # [n_cls, Cp+1(u1), Cp+1(u2)]
 
-    # one-hot picks in log space clamp -inf to a huge finite negative
-    BIG_NEG = -float(jnp.finfo(dtype).max) / 1e8
-
-    def pick(blk, hotm):
-        return jnp.einsum("...sb,sq->...qb", jnp.maximum(blk, BIG_NEG),
-                          hotm, preferred_element_type=dtype)
+    def _lam2(lam):
+        """Normalize lambda to [2, 1-or-B] (per-read lambda broadcasts)."""
+        return lam if lam.ndim == 2 else lam[:, None]
 
     def hoisted(d: DiffFactors, c: ConstFactors):
         """Per-evaluation exp-space energy tensors (lambda flows here)."""
-        lam = d.lam
+        lam = _lam2(d.lam)                    # [2, 1 or B]
         B = c.wsp.shape[-1]
         h = {}
         # eSZ[bu][cls]: [Cp+1 (dl=u2), Cp+1 (u1), B] with the per-read
         # C-cap folded in (dl + u1 <= C)
         cmask = (dlarr[:, None, None] + dlarr[None, :, None]
                  <= c.C[None, None, :])
-        h["eSZ"] = [[jnp.exp(lam_mul(lam[b], jnp.asarray(SZ_np[x].T, dtype))
-                             )[:, :, None] * cmask
+        h["eSZ"] = [[jnp.exp(lam_mul(
+            lam[b][None, None, :],
+            jnp.asarray(SZ_np[x].T, dtype)[:, :, None])) * cmask
                      for x in range(n_cls)] for b in range(2)]
-        # misA/misB exps, padded with PAD front rows for fused band reads
+        # misA/misB exps; emisB is stored rows-leading [Lp+1+PAD, v, 4, B]
+        # (PAD front rows) so the per-column flip+shear needs no
+        # transposes
         def padrows(x, fill):
-            pad = jnp.full((x.shape[0], PAD) + x.shape[2:], fill, x.dtype)
-            return jnp.concatenate([pad, x], axis=1)
+            pad = jnp.full((PAD,) + x.shape[1:], fill, x.dtype)
+            return jnp.concatenate([pad, x], axis=0)
         h["emisA"] = [jnp.exp(lam_mul(lam[b], c.ep["misA"]))
                       for b in range(2)]                  # [4, Lp+1, w, B]
-        h["emisB"] = [padrows(jnp.exp(lam_mul(lam[b], c.ep["misB"])), 0.0)
-                      for b in range(2)]
+        h["emisB"] = [padrows(
+            jnp.exp(lam_mul(lam[b], c.ep["misB"])).transpose(1, 2, 0, 3),
+            0.0) for b in range(2)]
         # exterior split weights exp(lam_b * ext[j, w'])
         h["eext"] = [jnp.exp(lam_mul(lam[b], c.ext)) for b in range(2)]
         return h
@@ -355,7 +380,7 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64):
                         * jnp.exp(fac)[:, None, :]
                 outs.append(_safe_log(acc, dtype) + m)
             a_pe, a_pp = outs
-        a_pp = a_pp + lam_mul(lamv[None, :, None], c.stk[j][:, None, :])
+        a_pp = a_pp + lam_mul(lamv[None], c.stk[j][:, None, :])
         Pcol = logadd(a_pe, a_pp) + d.alphaP[j][:, None, :]
         return mask_neg(Pcol, c.okP[j][:, None, :])
 
@@ -407,155 +432,127 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64):
         return Mcol
 
     def ep_col(d, c, h, j, Pt, LLt, Lcol):
-        """U7 TT_E_P: internal-loop sum over inner pair, flanking L runs
-        and (dk, dl) gap geometry (motif_model.hpp:329-335,
-        energy_param.hpp:744-795), all exp-space matmuls."""
+        """U7 TT_E_P internal-loop sum (motif_model.hpp:329-335,
+        energy_param.hpp:744-795), chain-factored.
+
+        The quadruple fan-out is computed as three small contractions
+        through the chain spaces (pairs13 -> AR -> K2) instead of one
+        nq-wide enumeration; the five (u1, u2) energy classes collapse
+        into a single fused weight tensor W[dl, x, u1] per lambda
+        bucket, and the final w = x + u1 anti-diagonal sum is one
+        static-indicator matmul — intermediates stay at band x gap x
+        n_ar instead of band x band x nq.  Everything is exp-space under
+        stop-gradient max shifts, so reverse mode stays exact."""
         B = Lcol.shape[-1]
+        if not have_ep:
+            return jnp.full((Wp + 1, S, B), NEG, dtype)
+        lam = _lam2(d.lam)
         PF = flip(Pt, j, Cp + 1)                  # [dl, v, S, B]
-        LB = flip(LLt, j, Wp + 1)                 # [r, dk, S, B]
         mPF = _finmax(PF, (0, 1, 2))[None, None, None, :]
         exPF = jnp.exp(PF - mPF)
         mL3 = _finmax(Lcol[: Cp + 1], (0, 1))[None, None, :]
-        exL3 = jnp.exp(Lcol[: Cp + 1] - mL3)
+        exL3 = jnp.exp(Lcol[: Cp + 1] - mL3)      # [dl, S, B]
+        dcum = c.dots_cum
         if dims.fix_rss:
-            dcum = c.dots_cum
             rd = (dcum[j] - dcum[jnp.clip(j - dlarr, 0, None)]
                   ) == dlarr[:, None]              # [dl, B]
             exL3 = exL3 * rd[:, None, :]
-            ld = (dcum[jnp.clip(j - warr[:, None], 0, None)]
-                  - dcum[jnp.clip(j - warr[None, :], 0, None)]
-                  ) == (warr[None, :, None] - warr[:, None, None])
-        p1 = jnp.einsum("dvsb,sq->dvqb", exPF, H1,
-                        preferred_element_type=dtype)
-        l3 = jnp.einsum("dsb,sq->dqb", exL3, H3,
-                        preferred_element_type=dtype)
-        inner = p1 * l3[:, None, :, :]            # [dl, v, q, B]
-        inner2 = _shear(inner, Wp + 1, 0.0)       # [dl, r, q, B]
 
-        # misB rows for this column, sheared v -> r
-        mBf = [flip(h["emisB"][b].transpose(1, 0, 2, 3), j, Cp + 1)
-               .transpose(1, 0, 2, 3) for b in range(2)]   # [4, dl, v, B]
-        mBsh = [_shear(mBf[b].transpose(1, 2, 0, 3), Wp + 1, 0.0)
-                .transpose(2, 0, 1, 3) for b in range(2)]  # [4, dl, r, B]
+        # T stage: inner pair x right flank -> AR = (a, r) pairs
+        tP = jnp.einsum("dvsb,sp->dvpb", exPF, Hot_s1_13,
+                        preferred_element_type=dtype)
+        tL = jnp.einsum("dsb,sp->dpb", exL3, Hot_s3_13,
+                        preferred_element_type=dtype)
+        T13 = tP * tL[:, None]                    # [dl, v, n13, B]
+        T = jnp.einsum("dvpb,pa->dvab", T13, Hot_13_ar,
+                       preferred_element_type=dtype)
+        Tsh = _shear(T, Wp + 1, 0.0)              # [dl, x=dl+v, n_ar, B]
+
+        # fused energy weight W[bu][dl, x, u1, B]: misB (inner pair) x
+        # size/asymmetry class x misA (outer pair), classes summed.
+        # misA's w = x + u1 geometry is the Ind indicator matmul (a
+        # gather would serialize on TPU).
+        mBsh = [_shear(flip(h["emisB"][b], j, Cp + 1), Wp + 1, 0.0)
+                for b in range(2)]                 # [dl, x, 4, B]
         mArow = [h["emisA"][b][:, j] for b in range(2)]     # [4, w, B]
-        # W2[gx][bu][r, u1, B] = emisA[gx, w=r+u1]
-        ru = np.minimum(np.arange(Wp + 1)[:, None]
-                        + np.arange(Cp + 1)[None, :], Wp)
-        ru_ok = jnp.asarray((np.arange(Wp + 1)[:, None]
-                             + np.arange(Cp + 1)[None, :]) <= Wp, dtype)
-        ruj = jnp.asarray(ru)
-
         V_bu = []
         for b in range(2):
-            lo, ln = q_slices[b]
-            if ln == 0:
-                V_bu.append(None)
-                continue
-            in_b = jax.lax.slice_in_dim(inner2, lo, lo + ln, axis=2)
-            Vacc = None
-            for x in range(n_cls):
-                X = in_b * mBsh[b][grp[x]][:, :, None, :]
-                V = jnp.einsum("drqb,dub->ruqb", X, h["eSZ"][b][x],
-                               preferred_element_type=dtype)
-                wA = mArow[b][grp[x]][ruj] * ru_ok[:, :, None]
-                V = V * wA[:, :, None, :]
-                Vacc = V if Vacc is None else Vacc + V
-            V_bu.append(Vacc)                      # [r, u1, q_b, B]
-
-        # left flank fold: Dleft[r, w] = LL(j-r, width w-r)
-        mLB = _finmax(LB, (0, 1, 2))[None, None, None, :]
-        exLB = jnp.exp(LB - mLB)
-        Dl = _shear(exLB, Wp + 1, 0.0)             # [r, w, S, B]
-        if dims.fix_rss:
-            Dl = Dl * ld[:, :, None, :]
-        out_parts = []
-        for b in range(2):
-            if V_bu[b] is None:
-                continue
-            lo, ln = q_slices[b]
-            # pad u1 -> w and shear: Vsh[r, w] = V[r, w - r]
-            Vp = jnp.pad(V_bu[b], ((0, 0), (0, Wp - Cp), (0, 0), (0, 0)))
-            Vsh = _shear(Vp, Wp + 1, 0.0)          # [r, w, q_b, B]
-            Dq = jnp.einsum("rwsb,sq->rwqb", Dl,
-                            jax.lax.slice_in_dim(H2, lo, lo + ln, axis=1),
+            wA = jnp.einsum("xuw,gwb->gxub", Ind, mArow[b],
                             preferred_element_type=dtype)
-            Ex = (Dq * Vsh).sum(axis=0)            # [w, q_b, B]
-            outp = jnp.einsum(
-                "wqb,qt->wtb", Ex,
-                jax.lax.slice_in_dim(Hseg, lo, lo + ln, axis=0),
-                preferred_element_type=dtype)
-            out_parts.append(outp)
-        shift = mPF[0, 0] + mL3[0] + mLB[0, 0]     # [1, B]
-        if out_parts:
-            tot = out_parts[0]
-            for p in out_parts[1:]:
-                tot = tot + p
-            main = _safe_log(tot, dtype) + shift
-        else:
-            main = jnp.full((Wp + 1, S, B), NEG, dtype)
+            Wall = None
+            for x_ in range(n_cls):
+                g_ = grp[x_]
+                t = (mBsh[b][:, :, g_, None, :]
+                     * h["eSZ"][b][x_][:, None, :, :]
+                     * wA[g_][None, :, :, :])      # [dl, x, u1, B]
+                Wall = t if Wall is None else Wall + t
+            # V[x, u1, ar, B] = sum_dl Tsh * Wall
+            V_bu.append(jnp.einsum("dxab,dxub->xuab", Tsh, Wall,
+                                   preferred_element_type=dtype))
 
-        spec = _ep_specials(d, c, j, PF, LB, Lcol, dtype) \
-            if not dims.no_ene else None
-        if spec is not None:
-            main = logadd(main, spec)
-        return main
+        # left flank LL(j-x, u1) and the K2 = (s2, AR) -> target stage
+        LB = flip(LLt, j, Wp + 1)                 # [x, u1-axis, S, B]
+        LBc = LB[:, : Cp + 1]                     # u1 <= Cp
+        mLB = _finmax(LBc, (0, 1, 2))[None, None, None, :]
+        exLB = jnp.exp(LBc - mLB)
+        if dims.fix_rss:
+            ld = (dcum[jnp.clip(j - warr[:, None], 0, None)]
+                  - dcum[jnp.clip(j - warr[:, None] - dlarr[None, :],
+                                  0, None)]) == dlarr[None, :, None]
+            exLB = exLB * ld[:, :, None, :]        # [x, u1, 1, B]
+        pickL = jnp.einsum("xusb,sk->xukb", exLB, Hot_s2_k2,
+                           preferred_element_type=dtype)
+        Vcat = jnp.concatenate(V_bu, axis=2)      # [x, u1, 2*n_ar, B]
+        pickV = jnp.einsum("xuab,ak->xukb", Vcat, Hot_arcat_k2,
+                           preferred_element_type=dtype)
+        G2 = pickL * pickV                        # [x, u1, n2, B]
 
-    def _ep_specials(d, c, j, PF, LB, Lcol, dtype_):
+        # base-coupled specials share the same shifts -> add in exp space
+        if not (dims.no_ene or "spec" in _ABLATE):
+            G2 = G2.at[:, 0].add(
+                _ep_specials(d, c, h, j, exPF, exLB, exL3, lam)
+                [:Wp + 1])
+        outw = jnp.einsum("xukb,xuw->wkb", G2, Ind,
+                          preferred_element_type=dtype)
+        out = jnp.einsum("wkb,kt->wtb", outw, Hot_k2_tgt,
+                         preferred_element_type=dtype)
+        shift = mPF[0, 0] + mL3[0] + mLB[0, 0]    # [1, B]
+        return _safe_log(out, dtype) + shift
+
+    SPEC_COMBOS = ((0, 1), (1, 0), (1, 1), (1, 2), (2, 1), (2, 2))
+
+    def _ep_specials(d, c, h, j, exPF, exLB, exL3, lam):
         """Base-coupled internal loops — stack-adjacent bulges (0,1)/(1,0)
-        and 1x1/1x2/2x1/2x2 internals (energy_param.hpp:744-795)."""
-        B = Lcol.shape[-1]
-        lam = d.lam
-        seq = c.seq
-        sg = lambda idx: seq[jnp.clip(idx, 0, Lp - 1)]
-        tab = energy_tab
-        ept = c.ep
-        t_out = ept["t_out"][j]                    # [w, B]
-        i_w = j - warr
-        b_i = sg(i_w)                              # [w, B]
-        b_jm = sg(jnp.full_like(warr, j - 1))      # [w, B]
-        dcum = c.dots_cum
+        and 1x1/1x2/2x1/2x2 internals (energy_param.hpp:744-795) — in the
+        same chain-factored exp space; returns a [w, n2, B] contribution
+        carrying the ep_col shifts (added at G2[:, u1=0]).
 
-        def tin_at(lcol, voff):
-            row = ept["t_in"][jnp.clip(lcol, 0, Lp)]   # [w?, B] -> [Wp+1,B]
-            return _shift_w(row, voff, fill=0)
-
-        def spec(dk, dl, il_w):
-            lf = _shift_w(LB[:, dk, :, :], dk)         # [w, S, B]
-            pin = _shift_w(PF[dl], dk + dl)            # [w, S, B]
-            term = (pick(lf, H2) + pick(pin, H1)
-                    + pick(Lcol[dl], H3)[None])
-            ilq = lam_mul(lam[q_b][None, :, None], il_w[:, None, :])
-            ok = (dk + dl) <= c.C                      # [B]
-            t = jnp.where(ok[None, None, :], term + ilq, NEG)
-            if dims.fix_rss:
-                ldok = (dcum[jnp.clip(j - warr + dk, 0, None)]
-                        - dcum[jnp.clip(j - warr, 0, None)]) == dk
-                rdok = (dcum[j] - dcum[jnp.maximum(j - dl, 0)]) == dl
-                t = jnp.where(ldok[:, None, :] & rdok[None, None, :],
-                              t, NEG)
-            return t
-
-        bulge1 = tab["bulge"][1]
-        acc = spec(0, 1, bulge1 + tab["stack"][t_out, tin_at(j - 1, 1)])
-        acc = logadd(acc, spec(1, 0, bulge1
-                               + tab["stack"][t_out, tin_at(j, 1)]))
-        acc = logadd(acc, spec(1, 1, tab["int11"][
-            t_out, tin_at(j - 1, 2), b_i, b_jm]))
-        acc = logadd(acc, spec(1, 2, tab["int21"][
-            t_out, tin_at(j - 2, 3), b_i,
-            sg(jnp.full_like(warr, j - 2)), b_jm]))
-        acc = logadd(acc, spec(2, 1, tab["int21"][
-            tin_at(j - 1, 3), t_out,
-            sg(jnp.full_like(warr, j - 1)), b_i, sg(i_w + 1)]))
-        acc = logadd(acc, spec(2, 2, tab["int22"][
-            t_out, tin_at(j - 2, 4), b_i, sg(i_w + 1),
-            sg(jnp.full_like(warr, j - 2)), b_jm]))
-        # scatter-lse the [w, nq, B] specials into target states
-        m = _finmax(acc, 1, keepdims=True)
-        ex = jnp.exp(acc - m)
-        s = jnp.einsum("wqb,qt->wtb", ex, Hseg,
-                       preferred_element_type=dtype)
-        return _safe_log(s, dtype_) + m
+        The per-(j, w) base-coupled energies are precomputed once per
+        read (c.ep["spec_il"], ep_fast.seq_tables), so the column body
+        has no table gathers; the six (dk, dl) combos run as one stacked
+        einsum chain.  fix_rss flank masks ride in via exLB/exL3."""
+        lamk2 = lam[lamk2_idx]                     # [n2, 1 or B]
+        il6 = c.ep["spec_il"][:, j]                # [6, w, B]
+        # lf[c, w] = LL(j-w+dk, dk);  pin[c, w] = P(j-dl, w-dk-dl)
+        lf6 = jnp.stack([_shift_w(exLB[:, dk], dk, fill=0.0)
+                         for dk, _ in SPEC_COMBOS])      # [6, w, S, B]
+        pin6 = jnp.stack([_shift_w(exPF[dl], dk + dl, fill=0.0)
+                          for dk, dl in SPEC_COMBOS])
+        l36 = jnp.stack([exL3[dl] for _, dl in SPEC_COMBOS])  # [6, S, B]
+        ok6 = jnp.stack([(dk + dl) <= c.C
+                         for dk, dl in SPEC_COMBOS])      # [6, B]
+        tP = jnp.einsum("cwsb,sp->cwpb", pin6, Hot_s1_13,
+                        preferred_element_type=dtype)
+        tL = jnp.einsum("csb,sp->cpb", l36, Hot_s3_13,
+                        preferred_element_type=dtype)
+        tar = jnp.einsum("cwpb,pa->cwab", tP * tL[:, None], Hot_13_ar,
+                         preferred_element_type=dtype)
+        pL = jnp.einsum("cwsb,sk->cwkb", lf6, Hot_s2_k2,
+                        preferred_element_type=dtype)
+        pV = jnp.einsum("cwab,ak->cwkb", tar, Hot_ar_k2,
+                        preferred_element_type=dtype)
+        eil = jnp.exp(lam_mul(lamk2[None, None], il6[:, :, None, :]))
+        return (pL * pV * eil * ok6[:, None, None, :]).sum(axis=0)
 
     def o_col(d, c, h, j, Ot, Pcol, eRrow, g_o2, aR):
         prevO = Ot[j - 1 + PAD]
@@ -579,7 +576,7 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64):
     def col_update(tabs, j, d: DiffFactors, c: ConstFactors, h):
         LLt, Pt, Et, Mt, Bt, T1t, T2t, Ot = tabs
         i_of_w = j - warr
-        lamv = d.lam[bucket]                       # [S]
+        lamv = _lam2(d.lam)[bucket]                # [S, 1 or B]
         eRrow = d.eR[jnp.clip(j - 1, 0, Lp - 1)]   # [S, B]
         aR = aux_row(d.auxR, j - 1) if dims.with_aux else None
         g_o2 = c.gate_O2[jnp.clip(j - 1, 0, Lp - 1)]  # [B]
@@ -595,19 +592,22 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64):
         LLt = LLt.at[j + PAD].set(Lcol)
 
         # U2: P (TT_P_E / TT_P_P)
-        Pcol = p_col(d, c, j, i_of_w, _shift_w(prevE, 2),
-                     _shift_w(prevP, 2), lamv)
+        if "p" in _ABLATE:
+            Pcol = _shift_w(prevP, 1)
+        else:
+            Pcol = p_col(d, c, j, i_of_w, _shift_w(prevE, 2),
+                         _shift_w(prevP, 2), lamv)
         Pt = Pt.at[j + PAD].set(Pcol)
 
         # U3: 2 (TT_2_2 / TT_2_P)
         T2col = logadd(
             chain(_shift_w(prev2, 1), eRrow, aR) + g_o2[None, None, :],
-            Pcol + lam_mul(lamv[None, :, None], c.ml2[j][:, None, :]))
+            Pcol + lam_mul(lamv[None], c.ml2[j][:, None, :]))
         T2col = mask_neg(T2col, c.okB[j][:, None, :])
         T2t = T2t.at[j + PAD].set(T2col)
 
         # U4: B (TT_B_12)
-        Bcol = b_col(c, j, T1t, T2col)
+        Bcol = T2col if "b" in _ABLATE else b_col(c, j, T1t, T2col)
         Bt = Bt.at[j + PAD].set(Bcol)
 
         # U5: 1 (TT_1_2 / TT_1_B)
@@ -615,21 +615,25 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64):
         T1t = T1t.at[j + PAD].set(T1col)
 
         # U6: M chain (TT_M_M / TT_M_B)
-        Mcol = m_col(d, c, j, Bcol, Lcol.dtype)
+        Mcol = Bcol if "m" in _ABLATE else m_col(d, c, j, Bcol, Lcol.dtype)
         Mt = Mt.at[j + PAD].set(Mcol)
 
         # U7: E (TT_E_H / TT_E_M / TT_E_P)
         hterm = jnp.where(
             loopm[None, :, None],
-            Lcol + lam_mul(lamv[None, :, None], c.hp[j][:, None, :]), NEG)
-        mterm = Mcol + lam_mul(lamv[None, :, None], c.mlE[j][:, None, :])
-        ep_term = ep_col(d, c, h, j, Pt, LLt, Lcol)
+            Lcol + lam_mul(lamv[None], c.hp[j][:, None, :]), NEG)
+        mterm = Mcol + lam_mul(lamv[None], c.mlE[j][:, None, :])
+        ep_term = hterm if "ep" in _ABLATE \
+            else ep_col(d, c, h, j, Pt, LLt, Lcol)
         Ecol = logadd(logadd(hterm, mterm), ep_term)
         Ecol = mask_neg(Ecol, c.okE[j][:, None, :])
         Et = Et.at[j + PAD].set(Ecol)
 
         # U8: O (TT_O_O / TT_O_OP)
-        Ocol = o_col(d, c, h, j, Ot, Pcol, eRrow, g_o2, aR)
+        if "o" in _ABLATE:
+            Ocol = chain1(Ot[j - 1 + PAD], eRrow, aR, g_o2[None, :])
+        else:
+            Ocol = o_col(d, c, h, j, Ot, Pcol, eRrow, g_o2, aR)
         Ot = Ot.at[j + PAD].set(Ocol)
 
         return (LLt, Pt, Et, Mt, Bt, T1t, T2t, Ot)

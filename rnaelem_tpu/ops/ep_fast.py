@@ -108,7 +108,8 @@ def seq_tables(tab, seq, Lp: int, Wp: int, no_ene: bool, dtype):
     if no_ene:
         z = jnp.zeros((4, Lp + 1, Wp + 1), dtype)
         ti = jnp.zeros((Lp + 1, Wp + 1), jnp.int32)
-        return dict(misA=z, misB=z, t_out=ti, t_in=ti)
+        return dict(misA=z, misB=z, t_out=ti, t_in=ti,
+                    spec_il=jnp.zeros((6, Lp + 1, Wp + 1), dtype))
     bp = tab["bp"]
     t_out = bp[sg(i - 1), sg(j + 0 * w)]
     b_i, b_jm = sg(i), sg(j - 1 + 0 * w)
@@ -127,9 +128,32 @@ def seq_tables(tab, seq, Lp: int, Wp: int, no_ene: bool, dtype):
         tab["mismatch_i"][t_in, b_l, b_km],
         jnp.where(t_in > 2, tab["term_au"], 0.0),
     ]).astype(dtype)
+    # base-coupled specials: per-(j, w) energies for the six (dk, dl)
+    # combos (stack-adjacent bulges, 1x1/1x2/2x1/2x2 internals) hoisted
+    # out of the column scan (energy_param.hpp:744-795).  Out-of-band
+    # indices are clipped — those entries multiply zero DP weights.
+    def idx2(joff, woff):
+        return t_in[jnp.clip(j - joff, 0, Lp),
+                    jnp.clip(w - woff, 0, Wp)]
+
+    b_i = sg(i)
+    b_i1 = sg(i + 1)
+    b_jm = sg(j - 1 + 0 * w)
+    b_j2 = sg(j - 2 + 0 * w)
+    bulge1 = tab["bulge"][1]
+    spec_il = jnp.stack([
+        bulge1 + tab["stack"][t_out, idx2(1, 1)],            # (0,1)
+        bulge1 + tab["stack"][t_out, idx2(0, 1)],            # (1,0)
+        tab["int11"][t_out, idx2(1, 2), b_i, b_jm],          # (1,1)
+        tab["int21"][t_out, idx2(2, 3), b_i, b_j2, b_jm],    # (1,2)
+        tab["int21"][idx2(1, 3), t_out, b_jm, b_i, b_i1],    # (2,1)
+        tab["int22"][t_out, idx2(2, 4), b_i, b_i1,
+                     b_j2, b_jm],                            # (2,2)
+    ]).astype(dtype)
     return dict(misA=misA, misB=misB,
                 t_out=t_out.astype(jnp.int32),
-                t_in=t_in.astype(jnp.int32))
+                t_in=t_in.astype(jnp.int32),
+                spec_il=spec_il)
 
 
 def _flip_rows(T, j, nrows: int):

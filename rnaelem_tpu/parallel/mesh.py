@@ -77,6 +77,77 @@ def _batch_spec():
         restrict_ari=0, lik_sign=0, is_neg=0, valid=0, bp_ok=0, eff=0)
 
 
+def make_sharded_per_read(cfg: J.ModelConfig, mesh: Mesh,
+                          lik_ratio: bool = False):
+    """The production multi-chip training step (the reference's TR_ARRAY
+    loop, motif_trainer.hpp:608-614 + motif_eval.hpp:23-54, as one SPMD
+    program): returns step(params, batch) -> (f[B], per-read grads,
+    eff[B]) with the batch sharded over the 'data' axis and NO device
+    reduction — the caller reduces in read order (objective.
+    reduce_per_read), which is bit-identical to the single-device path."""
+    J.kernels(cfg)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), jax.tree.map(lambda _: P("data"), _batch_spec())),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    def step(params, batch):
+        return OBJ.per_read_core(cfg, params, batch, lik_ratio)
+
+    step_jit = jax.jit(step)
+
+    def run(params, batch: OBJ.BatchData):
+        nd = mesh.devices.size
+        n = batch.valid.shape[0]
+        batch = pad_batch(batch, nd)
+        sharding = NamedSharding(mesh, P("data"))
+        batch = jax.tree.map(
+            lambda x: jax.device_put(x, sharding), batch)
+        params = jax.device_put(params, NamedSharding(mesh, P()))
+        f, grads_b, eff = step_jit(params, batch)
+        trim = lambda x: x[:n]
+        return trim(f), jax.tree.map(trim, grads_b), trim(eff)
+
+    return run
+
+
+def make_sharded_bp_masks(cfg: J.ModelConfig, mesh: Mesh):
+    """Sharded min-BPP pruning pass (energy_model.hpp:211-266): the
+    motif-free inside+VJP runs data-parallel over the mesh."""
+    J.kernels(cfg)
+    sd_spec = J.SeqData(seq=0, ws=0, L=0, has_motif=0, rss_pair=0, dots=0)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P("data"), sd_spec),),
+        out_specs=(P("data"), P("data")),
+        check_vma=False,
+    )
+    def bp(sd_b):
+        return J._effective_bp_mask_batch_jit(cfg, sd_b)
+
+    bp_jit = jax.jit(bp)
+
+    def run(cfg_, sd_b):
+        nd = mesh.devices.size
+        n = int(sd_b.L.shape[0])
+        npad = (-n) % nd
+        if npad:
+            def padf(x):
+                pw = [(0, npad)] + [(0, 0)] * (x.ndim - 1)
+                return jnp.pad(x, pw)
+            sd_b = jax.tree.map(padf, sd_b)
+            sd_b = sd_b._replace(L=sd_b.L.at[n:].set(1))
+        sharding = NamedSharding(mesh, P("data"))
+        sd_b = jax.tree.map(lambda x: jax.device_put(x, sharding), sd_b)
+        keep, eff = bp_jit(sd_b)
+        return keep[:n], eff[:n]
+
+    return run
+
+
 def pad_batch(batch: OBJ.BatchData, multiple: int) -> OBJ.BatchData:
     """Pad the batch axis to a multiple of the device count with invalid
     rows (masked out of fn/grad)."""

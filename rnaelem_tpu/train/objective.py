@@ -44,7 +44,7 @@ class BatchData(NamedTuple):
 
 
 def stack_reads(cfg: J.ModelConfig, reads, negatives=None,
-                bp_cache: dict = None) -> BatchData:
+                bp_cache: dict = None, bp_fn=None) -> BatchData:
     """Host-side: pack reads (+ optional shuffled negatives) into a batch.
 
     reads: list of (seq_codes, quals) tuples. negatives: list of
@@ -69,9 +69,11 @@ def stack_reads(cfg: J.ModelConfig, reads, negatives=None,
         neg.append(True)
         keys.append(None)
     sd = jax.tree.map(lambda *xs: jnp.stack(xs), *sds)
+    if bp_fn is None:
+        bp_fn = batch_bp_masks
 
     if bp_cache is None:
-        bp_ok, eff = batch_bp_masks(cfg, sd)
+        bp_ok, eff = bp_fn(cfg, sd)
     else:
         miss = [i for i, k in enumerate(keys)
                 if k is None or k not in bp_cache]
@@ -81,7 +83,7 @@ def stack_reads(cfg: J.ModelConfig, reads, negatives=None,
         if miss:
             sub = jax.tree.map(lambda *xs: jnp.stack(xs),
                                *[sds[i] for i in miss])
-            mb, me = batch_bp_masks(cfg, sub)
+            mb, me = bp_fn(cfg, sub)
             mb, me = np.asarray(mb), np.asarray(me)
             for t, i in enumerate(miss):
                 bp_np[i], eff_np[i] = mb[t], me[t]
@@ -119,22 +121,7 @@ def batch_total(cfg: J.ModelConfig, params: J.Params, batch: BatchData,
     non-finite partition function contribute nothing."""
     parts = J._batch_logZ_parts_jit(cfg, params, batch.sd, None,
                                     batch.bp_ok)        # [B, 3]
-    z_all = lse(parts, axis=-1)
-    z_ari = lse(jnp.where(jnp.asarray([False, True, True])[None],
-                          parts, NEG), axis=-1)
-    z_nasi = parts[:, 0]
-    if lik_ratio:
-        f = batch.lik_sign * (z_ari - z_all)
-        ok = jnp.isfinite(z_all) & jnp.isfinite(z_ari)
-    else:
-        z_restr = jnp.where(batch.restrict_ari, z_ari, z_nasi)
-        f = z_all - z_restr
-        # skip checks: positives require finite Z(all) and Z(ari)
-        # regardless of label; negatives only finite Z(all)
-        # (motif_trainer.hpp:211-214, 236-239)
-        ok = jnp.isfinite(z_all) & (batch.is_neg | jnp.isfinite(z_ari))
-    f = jnp.where(ok & batch.valid, f, 0.0)
-    eff = jnp.where(batch.valid & ~batch.is_neg, batch.eff, 0.0)
+    f, eff = _per_read_terms(cfg, parts, batch, lik_ratio)
     return f.sum(), eff.sum()
 
 
@@ -147,6 +134,66 @@ def batch_fn_grad(cfg: J.ModelConfig, params: J.Params, batch: BatchData,
         return batch_total(cfg, p, batch, lik_ratio)
 
     (fn, eff), grads = jax.value_and_grad(total, has_aux=True)(params)
+    return fn, grads, eff
+
+
+def _per_read_terms(cfg, parts, batch: BatchData, lik_ratio: bool):
+    """Per-read objective terms f[B] / eff[B] (motif_trainer.hpp:156-245;
+    same math as batch_total without the reduction)."""
+    z_all = lse(parts, axis=-1)
+    z_ari = lse(jnp.where(jnp.asarray([False, True, True])[None],
+                          parts, NEG), axis=-1)
+    z_nasi = parts[:, 0]
+    if lik_ratio:
+        f = batch.lik_sign * (z_ari - z_all)
+        ok = jnp.isfinite(z_all) & jnp.isfinite(z_ari)
+    else:
+        z_restr = jnp.where(batch.restrict_ari, z_ari, z_nasi)
+        f = z_all - z_restr
+        ok = jnp.isfinite(z_all) & (batch.is_neg | jnp.isfinite(z_ari))
+    f = jnp.where(ok & batch.valid, f, 0.0)
+    eff = jnp.where(batch.valid & ~batch.is_neg, batch.eff, 0.0)
+    return f, eff
+
+
+def per_read_core(cfg: J.ModelConfig, params: J.Params, batch: BatchData,
+                  lik_ratio: bool = False):
+    """(f[B], per-read grads pytree with leading B, eff[B]).
+
+    Parameters are broadcast into per-read copies before the DP, so the
+    VJP seeded with ones yields exactly d f_b / d params per read (f_b
+    depends only on row b of the broadcast).  Shard-count-invariant by
+    construction: the device never sums across reads, the caller
+    reduces in read order (reduce_per_read)."""
+    B = batch.valid.shape[0]
+    params_b = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (B,) + x.shape), params)
+
+    def f_of(pb):
+        parts = J._batch_logZ_parts_pr_jit(cfg, pb, batch.sd,
+                                           batch.bp_ok)
+        f, eff = _per_read_terms(cfg, parts, batch, lik_ratio)
+        return f, eff
+
+    f, vjp, eff = jax.vjp(f_of, params_b, has_aux=True)
+    (grads_b,) = vjp(jnp.ones_like(f))
+    return f, grads_b, eff
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def batch_fn_grad_pr(cfg: J.ModelConfig, params: J.Params,
+                     batch: BatchData, lik_ratio: bool = False):
+    return per_read_core(cfg, params, batch, lik_ratio)
+
+
+def reduce_per_read(f_b, grads_b, eff_b):
+    """Canonical read-order reduction on host (f64 numpy): the same
+    bits regardless of how the batch was sharded across devices."""
+    fn = float(np.add.reduce(np.asarray(f_b, np.float64), axis=0))
+    eff = float(np.add.reduce(np.asarray(eff_b, np.float64), axis=0))
+    grads = jax.tree.map(
+        lambda x: np.add.reduce(np.asarray(x, np.float64), axis=0),
+        grads_b)
     return fn, grads, eff
 
 

@@ -38,7 +38,7 @@ class Trainer:
                  lambda_init: float = 0.0, kmer_shuf: int = 2,
                  batch_size: int = 100, no_shuffle: bool = False,
                  lik_ratio: bool = False, interim_out=None,
-                 mask_indices=None, allreduce=None):
+                 mask_indices=None, mesh=None):
         self.cfg = cfg
         self.params = params
         self.g = J.kernels(cfg).g
@@ -51,7 +51,18 @@ class Trainer:
         self.lik_ratio = lik_ratio
         self.interim_out = interim_out
         self.mask_indices = mask_indices  # TR_MASK (motif_mask_trainer)
-        self.allreduce = allreduce        # multi-host psum hook
+        # multi-chip data parallelism (the reference's TR_ARRAY loop as
+        # one SPMD program): with a jax.sharding.Mesh, the batch is
+        # sharded over 'data' and the DP + BPP pruning run on all chips
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel import mesh as MESH
+            self._mesh_step = MESH.make_sharded_per_read(
+                cfg, mesh, lik_ratio)
+            self._bp_fn = MESH.make_sharded_bp_masks(cfg, mesh)
+        else:
+            self._mesh_step = None
+            self._bp_fn = None
         self.qr = FastqBatchReader()
         self._eval_cnt = 0
         self._eff_logged = False
@@ -107,13 +118,15 @@ class Trainer:
             self._bp_cache = {}
         batch = OBJ.stack_reads(self.cfg, reads,
                                 negs if not self.no_shuffle else None,
-                                bp_cache=self._bp_cache)
-        fn, grads, eff = OBJ.batch_fn_grad(
-            self.cfg, self.params, batch, self.lik_ratio)
-        fn = float(fn)
+                                bp_cache=self._bp_cache,
+                                bp_fn=self._bp_fn)
+        if self._mesh_step is not None:
+            f_b, gr_b, eff_b = self._mesh_step(self.params, batch)
+        else:
+            f_b, gr_b, eff_b = OBJ.batch_fn_grad_pr(
+                self.cfg, self.params, batch, self.lik_ratio)
+        fn, grads, eff = OBJ.reduce_per_read(f_b, gr_b, eff_b)
         gr = J.pack_params(self.g, grads)
-        if self.allreduce is not None:
-            fn, gr, eff = self.allreduce(fn, gr, eff)
         if not self._eff_logged:
             log("considered BP:", float(eff) / max(1, len(reads)))
             self._eff_logged = True
