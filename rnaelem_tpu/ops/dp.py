@@ -25,11 +25,11 @@ TPU-native design decisions (vs the per-read column scan of round 1):
   instead of pad+concat copies of the whole table.
 
 Gradients (the reference's OutsideFun/expected-count machinery,
-motif_trainer.hpp:330-458) come from a custom VJP: every column update
-is a pure overwrite of row j, reads of rows >= j are either freshly
-written this column or provably zero-weighted, so re-running each column
-under ``jax.vjp`` against the FINAL tables in a reverse scan is exactly
-the outside recursion, with O(1) extra memory.
+motif_trainer.hpp:330-458) come from a custom VJP: the column body is a
+pure function of a sliding WINDOW of previous rows (cols_fn), so the
+reverse scan re-runs it per column under ``jax.vjp`` and carries only
+the band-depth window COTANGENTS — carrying full-table cotangents made
+XLA copy ~500 MB per backward step (measured: 3x the entire eval).
 
 Cell conventions (span (i, j), i = j - w, bases i..j-1):
   LL: ST_L linear runs inside loops;   P: paired span (i, j-1);
@@ -265,6 +265,12 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64):
     n_cls = est.SZ.shape[0]
     grp = est.grp
     SZ_np = est.SZ  # [n_cls, Cp+1(u1), Cp+1(u2)]
+    # static eMA geometry: w = x (inner span) + u1 (left gap)
+    ru = np.minimum(np.arange(Wp + 1)[:, None]
+                    + np.arange(Cp + 1)[None, :], Wp)
+    ru_ok = jnp.asarray((np.arange(Wp + 1)[:, None]
+                         + np.arange(Cp + 1)[None, :]) <= Wp, dtype)
+    ruj = jnp.asarray(ru)
 
     def _lam2(lam):
         """Normalize lambda to [2, 1-or-B] (per-read lambda broadcasts)."""
@@ -384,10 +390,10 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64):
         Pcol = logadd(a_pe, a_pp) + d.alphaP[j][:, None, :]
         return mask_neg(Pcol, c.okP[j][:, None, :])
 
-    def b_col(c, j, T1t, T2col):
+    def b_col(c, j, T1F, T2col):
         """U4: B(i,j) = sum_k 1(i,k) * 2(k,j) as one dk-contraction
-        matmul plus a static tuple-sum matmul (TT_B_12)."""
-        T1F = flip(T1t, j, Wp + 1)                 # [dk, w-dk? rows j-dk]
+        matmul plus a static tuple-sum matmul (TT_B_12).
+        T1F[dk] = T1 row j-dk (dk=0 slot is ignored)."""
         m1 = _finmax(T1F, (0, 1, 2), keepdims=False)[None, None, None, :]
         ex1 = jnp.exp(T1F - m1)
         ex1 = ex1.at[0].set(0.0)                   # dk >= 1 (k < j)
@@ -431,7 +437,7 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64):
         _, Mcol = jax.lax.scan(m_step, jnp.full((S, B), NEG, dtype_), xs)
         return Mcol
 
-    def ep_col(d, c, h, j, Pt, LLt, Lcol):
+    def ep_col(d, c, h, j, PF, LB, Lcol):
         """U7 TT_E_P internal-loop sum (motif_model.hpp:329-335,
         energy_param.hpp:744-795), chain-factored.
 
@@ -447,7 +453,6 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64):
         if not have_ep:
             return jnp.full((Wp + 1, S, B), NEG, dtype)
         lam = _lam2(d.lam)
-        PF = flip(Pt, j, Cp + 1)                  # [dl, v, S, B]
         mPF = _finmax(PF, (0, 1, 2))[None, None, None, :]
         exPF = jnp.exp(PF - mPF)
         mL3 = _finmax(Lcol[: Cp + 1], (0, 1))[None, None, :]
@@ -477,8 +482,8 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64):
         mArow = [h["emisA"][b][:, j] for b in range(2)]     # [4, w, B]
         V_bu = []
         for b in range(2):
-            wA = jnp.einsum("xuw,gwb->gxub", Ind, mArow[b],
-                            preferred_element_type=dtype)
+            wA = [mArow[b][g_][ruj] * ru_ok[:, :, None]
+                  for g_ in range(4)]              # [x, u1, B] per group
             Wall = None
             for x_ in range(n_cls):
                 g_ = grp[x_]
@@ -486,12 +491,13 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64):
                      * h["eSZ"][b][x_][:, None, :, :]
                      * wA[g_][None, :, :, :])      # [dl, x, u1, B]
                 Wall = t if Wall is None else Wall + t
-            # V[x, u1, ar, B] = sum_dl Tsh * Wall
-            V_bu.append(jnp.einsum("dxab,dxub->xuab", Tsh, Wall,
-                                   preferred_element_type=dtype))
+            # V[x, u1, ar, B] = sum_dl Tsh * Wall (mul-reduce fusion —
+            # measured faster than the dot_general form, whose (x, b)
+            # batch dims force relayouts)
+            V_bu.append((Tsh[:, :, None, :, :]
+                         * Wall[:, :, :, None, :]).sum(axis=0))
 
         # left flank LL(j-x, u1) and the K2 = (s2, AR) -> target stage
-        LB = flip(LLt, j, Wp + 1)                 # [x, u1-axis, S, B]
         LBc = LB[:, : Cp + 1]                     # u1 <= Cp
         mLB = _finmax(LBc, (0, 1, 2))[None, None, None, :]
         exLB = jnp.exp(LBc - mLB)
@@ -507,13 +513,11 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64):
                            preferred_element_type=dtype)
         G2 = pickL * pickV                        # [x, u1, n2, B]
 
-        # base-coupled specials share the same shifts -> add in exp space
-        if not (dims.no_ene or "spec" in _ABLATE):
-            G2 = G2.at[:, 0].add(
-                _ep_specials(d, c, h, j, exPF, exLB, exL3, lam)
-                [:Wp + 1])
         outw = jnp.einsum("xukb,xuw->wkb", G2, Ind,
                           preferred_element_type=dtype)
+        # base-coupled specials share the same shifts -> add in exp space
+        if not (dims.no_ene or "spec" in _ABLATE):
+            outw = outw + _ep_specials(d, c, h, j, exPF, exLB, exL3, lam)
         out = jnp.einsum("wkb,kt->wtb", outw, Hot_k2_tgt,
                          preferred_element_type=dtype)
         shift = mPF[0, 0] + mL3[0] + mLB[0, 0]    # [1, B]
@@ -529,35 +533,37 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64):
 
         The per-(j, w) base-coupled energies are precomputed once per
         read (c.ep["spec_il"], ep_fast.seq_tables), so the column body
-        has no table gathers; the six (dk, dl) combos run as one stacked
-        einsum chain.  fix_rss flank masks ride in via exLB/exL3."""
+        has no table gathers.  fix_rss flank masks ride in via
+        exLB/exL3.  (A stacked single-einsum form of the six combos
+        triggers an XLA TPU fusion-emitter crash in reverse mode, so
+        they stay as a small unrolled loop.)"""
         lamk2 = lam[lamk2_idx]                     # [n2, 1 or B]
         il6 = c.ep["spec_il"][:, j]                # [6, w, B]
-        # lf[c, w] = LL(j-w+dk, dk);  pin[c, w] = P(j-dl, w-dk-dl)
-        lf6 = jnp.stack([_shift_w(exLB[:, dk], dk, fill=0.0)
-                         for dk, _ in SPEC_COMBOS])      # [6, w, S, B]
-        pin6 = jnp.stack([_shift_w(exPF[dl], dk + dl, fill=0.0)
-                          for dk, dl in SPEC_COMBOS])
-        l36 = jnp.stack([exL3[dl] for _, dl in SPEC_COMBOS])  # [6, S, B]
-        ok6 = jnp.stack([(dk + dl) <= c.C
-                         for dk, dl in SPEC_COMBOS])      # [6, B]
-        tP = jnp.einsum("cwsb,sp->cwpb", pin6, Hot_s1_13,
-                        preferred_element_type=dtype)
-        tL = jnp.einsum("csb,sp->cpb", l36, Hot_s3_13,
-                        preferred_element_type=dtype)
-        tar = jnp.einsum("cwpb,pa->cwab", tP * tL[:, None], Hot_13_ar,
-                         preferred_element_type=dtype)
-        pL = jnp.einsum("cwsb,sk->cwkb", lf6, Hot_s2_k2,
-                        preferred_element_type=dtype)
-        pV = jnp.einsum("cwab,ak->cwkb", tar, Hot_ar_k2,
-                        preferred_element_type=dtype)
-        eil = jnp.exp(lam_mul(lamk2[None, None], il6[:, :, None, :]))
-        return (pL * pV * eil * ok6[:, None, None, :]).sum(axis=0)
+        acc = None
+        for ci, (dk, dl) in enumerate(SPEC_COMBOS):
+            # lf[w] = LL(j-w+dk, dk);  pin[w] = P(j-dl, w-dk-dl)
+            lf = _shift_w(exLB[:, dk], dk, fill=0.0)      # [w, S, B]
+            pin = _shift_w(exPF[dl], dk + dl, fill=0.0)   # [w, S, B]
+            tP = jnp.einsum("wsb,sp->wpb", pin, Hot_s1_13,
+                            preferred_element_type=dtype)
+            tL = jnp.einsum("sb,sp->pb", exL3[dl], Hot_s3_13,
+                            preferred_element_type=dtype)
+            tar = jnp.einsum("wpb,pa->wab", tP * tL[None], Hot_13_ar,
+                             preferred_element_type=dtype)
+            pL = jnp.einsum("wsb,sk->wkb", lf, Hot_s2_k2,
+                            preferred_element_type=dtype)
+            pV = jnp.einsum("wab,ak->wkb", tar, Hot_ar_k2,
+                            preferred_element_type=dtype)
+            eil = jnp.exp(lam_mul(lamk2[None], il6[ci][:, None, :]))
+            ok = ((dk + dl) <= c.C)                        # [B]
+            t = pL * pV * eil * ok[None, None, :]
+            acc = t if acc is None else acc + t
+        return acc                                 # [w, n2, B]
 
-    def o_col(d, c, h, j, Ot, Pcol, eRrow, g_o2, aR):
-        prevO = Ot[j - 1 + PAD]
+    def o_col(d, c, h, j, Orows, Pcol, eRrow, g_o2, aR):
+        """Orows[w'] = O row j-w' (slot 0 is ignored: okP kills w=0)."""
+        prevO = Orows[1]
         oo = chain1(prevO, eRrow, aR, g_o2[None, :])
-        Orows = flip(Ot, j, Wp + 1)                # [w', S, B]
         mO = _finmax(Orows, (0, 1))[None, None, :]
         exO = jnp.exp(Orows - mO)
         mP = _finmax(Pcol, (0, 1))[None, None, :]
@@ -573,70 +579,96 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64):
         op_term = _safe_log(tot, dtype) + mP[0] + mO[0]
         return logadd(oo, op_term)
 
-    def col_update(tabs, j, d: DiffFactors, c: ConstFactors, h):
+    def windows_of(tabs, j):
+        """Sliding windows of previous rows feeding column j: win[k] is
+        row j-1-k.  E/T2 chains only read row j-1; P feeds the internal
+        loop back to j-1-Cp; LL/T1/O feed band-wide reads."""
         LLt, Pt, Et, Mt, Bt, T1t, T2t, Ot = tabs
+        return dict(
+            L=flip(LLt, j - 1, Wp),
+            P=flip(Pt, j - 1, Cp),
+            T1=flip(T1t, j - 1, Wp),
+            E=Et[j - 1 + PAD],
+            T2=T2t[j - 1 + PAD],
+            O=flip(Ot, j - 1, Wp),
+        )
+
+    def cols_fn(win, j, d: DiffFactors, c: ConstFactors, h):
+        """All of column j from the windows of previous rows — the pure
+        function both the forward scan and the reverse (outside) scan
+        differentiate; no self-referential table reads remain."""
         i_of_w = j - warr
         lamv = _lam2(d.lam)[bucket]                # [S, 1 or B]
         eRrow = d.eR[jnp.clip(j - 1, 0, Lp - 1)]   # [S, B]
         aR = aux_row(d.auxR, j - 1) if dims.with_aux else None
         g_o2 = c.gate_O2[jnp.clip(j - 1, 0, Lp - 1)]  # [B]
-
-        prevL = LLt[j - 1 + PAD]
-        prevP = Pt[j - 1 + PAD]
-        prevE = Et[j - 1 + PAD]
-        prev2 = T2t[j - 1 + PAD]
+        B = eRrow.shape[-1]
+        negcol = jnp.full((1, Wp + 1, S, B), NEG, dtype)
 
         # U1: ST_L chain (motif_model.hpp:243-257)
-        Lcol = chain(_shift_w(prevL, 1), eRrow, aR)
+        Lcol = chain(_shift_w(win["L"][0], 1), eRrow, aR)
         Lcol = Lcol.at[0].set(diag_col[:, None])
-        LLt = LLt.at[j + PAD].set(Lcol)
 
         # U2: P (TT_P_E / TT_P_P)
         if "p" in _ABLATE:
-            Pcol = _shift_w(prevP, 1)
+            Pcol = _shift_w(win["P"][0], 1)
         else:
-            Pcol = p_col(d, c, j, i_of_w, _shift_w(prevE, 2),
-                         _shift_w(prevP, 2), lamv)
-        Pt = Pt.at[j + PAD].set(Pcol)
+            Pcol = p_col(d, c, j, i_of_w, _shift_w(win["E"], 2),
+                         _shift_w(win["P"][0], 2), lamv)
 
         # U3: 2 (TT_2_2 / TT_2_P)
         T2col = logadd(
-            chain(_shift_w(prev2, 1), eRrow, aR) + g_o2[None, None, :],
+            chain(_shift_w(win["T2"], 1), eRrow, aR)
+            + g_o2[None, None, :],
             Pcol + lam_mul(lamv[None], c.ml2[j][:, None, :]))
         T2col = mask_neg(T2col, c.okB[j][:, None, :])
-        T2t = T2t.at[j + PAD].set(T2col)
 
-        # U4: B (TT_B_12)
-        Bcol = T2col if "b" in _ABLATE else b_col(c, j, T1t, T2col)
-        Bt = Bt.at[j + PAD].set(Bcol)
+        # U4: B (TT_B_12); T1F[dk] = T1 row j-dk, dk=0 slot unused
+        T1F = jnp.concatenate([negcol, win["T1"]], axis=0)
+        Bcol = T2col if "b" in _ABLATE else b_col(c, j, T1F, T2col)
 
         # U5: 1 (TT_1_2 / TT_1_B)
         T1col = mask_neg(logadd(T2col, Bcol), c.okB[j][:, None, :])
-        T1t = T1t.at[j + PAD].set(T1col)
 
         # U6: M chain (TT_M_M / TT_M_B)
         Mcol = Bcol if "m" in _ABLATE else m_col(d, c, j, Bcol, Lcol.dtype)
-        Mt = Mt.at[j + PAD].set(Mcol)
 
         # U7: E (TT_E_H / TT_E_M / TT_E_P)
         hterm = jnp.where(
             loopm[None, :, None],
             Lcol + lam_mul(lamv[None], c.hp[j][:, None, :]), NEG)
         mterm = Mcol + lam_mul(lamv[None], c.mlE[j][:, None, :])
-        ep_term = hterm if "ep" in _ABLATE \
-            else ep_col(d, c, h, j, Pt, LLt, Lcol)
+        if "ep" in _ABLATE:
+            ep_term = hterm
+        else:
+            PF = jnp.concatenate([Pcol[None], win["P"]], axis=0)
+            LB = jnp.concatenate([Lcol[None], win["L"]], axis=0)
+            ep_term = ep_col(d, c, h, j, PF, LB, Lcol)
         Ecol = logadd(logadd(hterm, mterm), ep_term)
         Ecol = mask_neg(Ecol, c.okE[j][:, None, :])
-        Et = Et.at[j + PAD].set(Ecol)
 
-        # U8: O (TT_O_O / TT_O_OP)
+        # U8: O (TT_O_O / TT_O_OP); slot 0 (row j) is zero-weighted
         if "o" in _ABLATE:
-            Ocol = chain1(Ot[j - 1 + PAD], eRrow, aR, g_o2[None, :])
+            Ocol = chain1(win["O"][0], eRrow, aR, g_o2[None, :])
         else:
-            Ocol = o_col(d, c, h, j, Ot, Pcol, eRrow, g_o2, aR)
-        Ot = Ot.at[j + PAD].set(Ocol)
+            Orows = jnp.concatenate(
+                [jnp.full((1, S, B), NEG, dtype), win["O"]], axis=0)
+            Ocol = o_col(d, c, h, j, Orows, Pcol, eRrow, g_o2, aR)
 
-        return (LLt, Pt, Et, Mt, Bt, T1t, T2t, Ot)
+        return dict(L=Lcol, P=Pcol, E=Ecol, M=Mcol, B=Bcol,
+                    T1=T1col, T2=T2col, O=Ocol)
+
+    def col_update(tabs, j, d: DiffFactors, c: ConstFactors, h):
+        cols = cols_fn(windows_of(tabs, j), j, d, c, h)
+        LLt, Pt, Et, Mt, Bt, T1t, T2t, Ot = tabs
+        return (LLt.at[j + PAD].set(cols["L"]),
+                Pt.at[j + PAD].set(cols["P"]),
+                Et.at[j + PAD].set(cols["E"]),
+                Mt.at[j + PAD].set(cols["M"]),
+                Bt.at[j + PAD].set(cols["B"]),
+                T1t.at[j + PAD].set(cols["T1"]),
+                T2t.at[j + PAD].set(cols["T2"]),
+                Ot.at[j + PAD].set(cols["O"]))
 
     def init_tabs(B):
         z3 = jnp.full((Lp + 1 + PAD, Wp + 1, S, B), NEG, dtype)
@@ -675,37 +707,62 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64):
         return _extract_parts(tabs[-1], c), (d, c, tabs)
 
     def dp_bwd(res, gbar):
+        """Outside pass: reverse scan whose carry is the COTANGENT of
+        the sliding windows (band-depth, ~tens of MB) — not the full
+        tables, which XLA was copying wholesale every iteration.  Each
+        step re-runs cols_fn for column j against windows read from the
+        saved forward tables (exact: cols_fn never reads row >= j) and
+        unshifts the window cotangents."""
         d, c, tabs = res
         B = c.wsp.shape[-1]
-        u_tabs = jax.tree.map(jnp.zeros_like, tabs)
-        # scatter gbar [B,3] into the O cotangent at (L_b + PAD, es_k, b)
+        # gbar [B,3] enters the O-column cotangent at j == L_b
         ge = jnp.zeros((S, B), dtype).at[end_states, :].add(gbar.T)
-        onehot_L = (jnp.arange(Lp + 1 + PAD)[:, None]
-                    == (c.L + PAD)[None, :]).astype(dtype)
-        uO = u_tabs[-1] + onehot_L[:, None, :] * ge[None, :, :]
-        u_tabs = u_tabs[:-1] + (uO,)
         d_zero = jax.tree.map(jnp.zeros_like, d)
 
         h, h_vjp = jax.vjp(lambda dd: hoisted(dd, c), d)
 
-        # Re-running each column against the FINAL tables reproduces the
-        # forward values exactly: reads of rows >= j are either freshly
-        # overwritten this column (vjp routes their cotangent into the
-        # new column) or provably zero-weighted (T1 row j via the dk=0
-        # guard, O row j via the okP(w=0) gate).
+        def zwin():
+            zc = jnp.zeros((Wp + 1, S, B), dtype)
+            return dict(
+                L=jnp.zeros((Wp, Wp + 1, S, B), dtype),
+                P=jnp.zeros((Cp, Wp + 1, S, B), dtype),
+                T1=jnp.zeros((Wp, Wp + 1, S, B), dtype),
+                E=zc, T2=zc,
+                O=jnp.zeros((Wp, S, B), dtype),
+            )
+
+        def unshift(u):
+            return jnp.concatenate(
+                [u[1:], jnp.zeros_like(u[:1])], axis=0)
+
         def body(carry, j):
-            u_t, d_acc, h_acc = carry
+            u_win, d_acc, h_acc = carry
+            wins_prev = windows_of(tabs, j)
+            u_cols = dict(
+                L=u_win["L"][0], P=u_win["P"][0], T1=u_win["T1"][0],
+                E=u_win["E"], T2=u_win["T2"],
+                M=jnp.zeros((Wp + 1, S, B), dtype),
+                B=jnp.zeros((Wp + 1, S, B), dtype),
+                O=u_win["O"][0] + ge * (c.L == j)[None, :],
+            )
             _, vjp_fn = jax.vjp(
-                lambda tb, dd, hh: col_update(tb, j, dd, c, hh),
-                tabs, d, h)
-            du_tabs, dd, dh = vjp_fn(u_t)
+                lambda w, dd, hh: cols_fn(w, j, dd, c, hh),
+                wins_prev, d, h)
+            dw, dd, dh = vjp_fn(u_cols)
+            u_next = dict(
+                L=unshift(u_win["L"]) + dw["L"],
+                P=unshift(u_win["P"]) + dw["P"],
+                T1=unshift(u_win["T1"]) + dw["T1"],
+                E=dw["E"], T2=dw["T2"],
+                O=unshift(u_win["O"]) + dw["O"],
+            )
             d_acc = jax.tree.map(jnp.add, d_acc, dd)
             h_acc = jax.tree.map(jnp.add, h_acc, dh)
-            return (du_tabs, d_acc, h_acc), None
+            return (u_next, d_acc, h_acc), None
 
         h_zero = jax.tree.map(jnp.zeros_like, h)
         (_, d_acc, h_acc), _ = jax.lax.scan(
-            body, (u_tabs, d_zero, h_zero), jnp.arange(Lp, 0, -1))
+            body, (zwin(), d_zero, h_zero), jnp.arange(Lp, 0, -1))
         (dh_d,) = h_vjp(h_acc)
         d_acc = jax.tree.map(jnp.add, d_acc, dh_d)
         c_zero = jax.tree.map(_zero_cotangent, c)
