@@ -71,7 +71,12 @@ def build_parser():
     p.add_argument("--batch-size", type=int, default=100)
     p.add_argument("--dtype", default=None,
                    help="float32 (TPU default) or float64 (CPU default)")
-    p.add_argument("--pict", dest="pic_fname", default="~NONE~")
+    # parsed but unused, matching the reference binary exactly: its
+    # --pict is stored and never consumed (application.hpp:98-100, 323;
+    # the requirement check is commented out at application.hpp:352)
+    p.add_argument("--pict", dest="pic_fname", default="~NONE~",
+                   help="accepted for reference CLI compatibility; "
+                        "figures are produced by the elem refine step")
     # multi-chip / multi-host (replaces the reference's SGE TR_ARRAY
     # loop, motif_trainer.hpp:608-614, with one SPMD program)
     p.add_argument("--mesh", type=int, default=-1,

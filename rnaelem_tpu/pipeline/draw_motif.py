@@ -66,17 +66,28 @@ def _parse_nested(s: str) -> List[List[float]]:
     return out
 
 
-def occupancy(model_dir: str, M: int):
-    """Per-node coverage fraction + mean gap lengths from psihat paths
-    (draw_motif.py:85-107)."""
+def occupancy(model_dir: str, M: int, pattern: str = ""):
+    """Per-node coverage fraction + mean gap length per '*' node from
+    psihat paths weighted by exist prob (reference draw_motif.py:60-107
+    — including its cumulative-z weighting, reproduced for parity:
+    the reference accumulates `z += exist_prob` BEFORE weighting, so
+    later reads weigh more)."""
     occ = np.zeros(M)
     n = 0
     raw = os.path.join(model_dir, "train.raw")
+    # '*' at pattern position i is node i+1 (draw_motif.py:75)
+    pos_gap = [i + 1 for i, ch in enumerate(pattern) if ch == "*"]
+    L_gap = np.zeros(len(pos_gap))
+    L_gap_div = 0.0
+    z = 0.0
     if not os.path.exists(raw):
         return np.ones(M), {}
+    ez = None
     with open(raw) as f:
         for line in f:
-            if line.startswith("psihat:"):
+            if line.startswith("exist prob:"):
+                ez = float(line.split(":", 1)[1])
+            elif line.startswith("psihat:"):
                 path = [int(v) for v in
                         line.split(":", 1)[1].strip()[1:-1].split(",")
                         if v]
@@ -84,7 +95,14 @@ def occupancy(model_dir: str, M: int):
                 for h in set(path):
                     if 0 <= h < M:
                         occ[h] += 1
-    return (occ / max(n, 1)), {}
+                if ez is not None and pos_gap:
+                    z += ez
+                    for gi, pg in enumerate(pos_gap):
+                        L_gap[gi] += z * sum(1 for y in path if y == pg)
+                    L_gap_div += z
+    gaps = {pg: (L_gap[gi] / L_gap_div if L_gap_div > 0 else 0.0)
+            for gi, pg in enumerate(pos_gap)}
+    return (occ / max(n, 1)), gaps
 
 
 def _entropy(p):
@@ -115,7 +133,8 @@ def _logo_column(x, y0, height, probs, letters, colors, width=20):
     return parts
 
 
-def draw_logo(pattern: str, en: List[List[float]], occ, out_path: str):
+def draw_logo(pattern: str, en: List[List[float]], occ, out_path: str,
+              gaps=None):
     nodes = "z" + pattern + "o"
     M = len(nodes)
     col_w, height, pad = 24, 96, 30
@@ -140,6 +159,13 @@ def draw_logo(pattern: str, en: List[List[float]], occ, out_path: str):
             svg.append(
                 f'<text x="{x + col_w / 2}" y="{height + 20}" '
                 f'text-anchor="middle" font-size="16">*</text>')
+            if gaps and h in gaps:
+                # mean gap length annotation (reference
+                # draw_motif.py:85-107 meta row)
+                svg.append(
+                    f'<text x="{x + col_w / 2}" y="{height + 40}" '
+                    f'text-anchor="middle" font-size="10">'
+                    f'{gaps[h]:.1f}nt</text>')
             x += col_w
             continue
         if c == "(":
@@ -294,8 +320,8 @@ def draw(model_dir: str, rss_out: str, prf_out: str,
     if pattern is None:
         raise RuntimeError("no pattern found in " + model_dir)
     pattern = pattern.replace("_", ".")
-    occ, _ = occupancy(model_dir, len(pattern) + 2)
-    draw_logo(pattern, en, occ, prf_out)
+    occ, gaps = occupancy(model_dir, len(pattern) + 2, pattern)
+    draw_logo(pattern, en, occ, prf_out, gaps)
     draw_structure(pattern, en, occ, threshold, rss_out)
 
 

@@ -29,6 +29,25 @@ import numpy as np
 from .kmer_psp import parse_fasta
 
 
+def _svg_to_png(svg_path, png_path):
+    """Optional PNG rendering of the refine figures via rsvg-convert or
+    ImageMagick, matching script/elem:444-456; silently skipped when
+    neither tool is installed (the SVGs remain the primary output)."""
+    import shutil
+    if shutil.which("rsvg-convert"):
+        cmd = ["rsvg-convert", "-o", png_path, svg_path]
+    elif shutil.which("convert"):
+        cmd = ["convert", svg_path, png_path]
+    else:
+        return False
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        return True
+    except Exception as e:
+        cry("svg->png failed:", e)
+        return False
+
+
 def cry(*a):
     print(*a, file=sys.stderr, flush=True)
 
@@ -314,6 +333,8 @@ def run_refine(elem_out, max_iter, batch_size, plot_base_threshold,
             from .draw_motif import draw
             draw(mdir, f"{mdir}/rss.svg", f"{mdir}/prf.svg",
                  plot_base_threshold)
+            _svg_to_png(f"{mdir}/rss.svg", f"{mdir}/rss.png")
+            _svg_to_png(f"{mdir}/prf.svg", f"{mdir}/prf.png")
         except Exception as e:
             cry("draw_motif failed:", e)
 

@@ -252,22 +252,38 @@ def _candidates(h: _Host, e: int, i: int, j: int, s: int):
                         ("E_H",)))
         out.append((h.M[j, w, s] + h.lam_mul(s, h.mlE[j, w]),
                     ("E_M",)))
-        il = h.il(j)
-        for dl in range(0, min(h.cfg.Cp, w) + 1):
-            l = j - dl
-            for dk in range(0, min(h.cfg.Cp, w - dl) + 1):
-                if dk == 0 and dl == 0:
-                    continue
-                tsc = il[w, dk, dl]
-                if tsc == NEG:
-                    continue
-                k = i + dk
-                for (ts, s1, s2, s3) in g.ep_tuples:
-                    if ts != s:
-                        continue
-                    sc = (h.P[l, l - k, s1] + h.LL[k, dk, s2]
-                          + h.LL[j, dl, s3] + h.lamv[s] * tsc)
-                    out.append((sc, ("E_P", k, l, s1, s2, s3)))
+        # TT_E_P: vectorized over (dl, dk, quadruple) in the reference's
+        # evaluation order (motif_scanner.hpp:875-905), argmax picks the
+        # first maximal candidate like the sequential loop did
+        tup = g.ep_tuples[g.ep_tuples[:, 0] == s]
+        nd = min(h.cfg.Cp, w)
+        if len(tup) and nd >= 0:
+            il = h.il(j)
+            dls = np.arange(nd + 1)
+            DL, DK = np.meshgrid(dls, dls, indexing="ij")
+            valid = (DK <= np.minimum(h.cfg.Cp, w - DL)) \
+                & ~((DK == 0) & (DL == 0)) & (DL + DK <= w)
+            tsc = il[w, DK, DL]
+            valid &= tsc != NEG
+            if valid.any():
+                ll = j - DL
+                kk = i + DK
+                vv = np.clip(ll - kk, 0, None)
+                s1, s2, s3 = tup[:, 1], tup[:, 2], tup[:, 3]
+                sc = (h.P[ll[:, :, None], vv[:, :, None],
+                          s1[None, None, :]]
+                      + h.LL[kk[:, :, None], DK[:, :, None],
+                             s2[None, None, :]]
+                      + h.LL[j, DL[:, :, None], s3[None, None, :]]
+                      + np.where(tsc == NEG, NEG,
+                                 h.lamv[s] * tsc)[:, :, None])
+                sc = np.where(valid[:, :, None], sc, NEG)
+                flat = np.argmax(sc)
+                di, ki, qi = np.unravel_index(flat, sc.shape)
+                out.append((float(sc[di, ki, qi]),
+                            ("E_P", i + int(DK[di, ki]),
+                             j - int(DL[di, ki]), int(s1[qi]),
+                             int(s2[qi]), int(s3[qi]))))
         return out
 
     raise AssertionError(e)

@@ -44,6 +44,16 @@ def scan_config(cfg: J.ModelConfig, params: J.Params, Lp: int):
                           lam=params.lam)
 
 
+def _bucket_of(L: int, lo: int = 32, step: int = 32) -> int:
+    """Length bucket: round up to a multiple of `step` (min `lo`), so a
+    new FASTQ reuses compiled kernels instead of specializing on the
+    file's exact max length (SURVEY §7.1 'Batching')."""
+    return max(lo, ((L + step - 1) // step) * step)
+
+
+SCAN_BATCH = 64
+
+
 class Scanner:
     def __init__(self, cfg: J.ModelConfig, params: J.Params):
         self.cfg0 = cfg
@@ -56,34 +66,58 @@ class Scanner:
         if not reads:
             print("E[N]: []", file=log)
             return
-        Lp = max(len(r.seq) for r in reads)
-        cfg, params = scan_config(self.cfg0, self.params0, Lp)
-        g = J.kernels(cfg).g
-        M = g.M
-        EN_singles = np.zeros_like(np.asarray(params.singles))
-        EN_pairs = np.zeros_like(np.asarray(params.pairs))
+        g0 = None
+        EN_singles = EN_pairs = None
 
-        for r in reads:
-            sd = J.make_seqdata(cfg, r.seq, r.qual)
-            res = SC.scan_posteriors(cfg, params, sd)
-            L = len(r.seq)
-            Ys, Ye = int(res["Ys"]), int(res["Ye"])
-            Pys = np.asarray(res["Pys"])[:L]
-            Pye = np.asarray(res["Pye"])[:L + 1]
-            Pyi = np.asarray(res["Pyi"])[:L]
-            EN_singles += np.asarray(res["EN"].singles)
-            EN_pairs += np.asarray(res["EN"].pairs)
+        # group reads into length buckets; one compiled kernel per
+        # bucket, reads batched through the DP (vs the reference's
+        # one-thread-per-read loop, motif_scanner.hpp:215-260)
+        buckets = {}
+        for idx, r in enumerate(reads):
+            buckets.setdefault(_bucket_of(len(r.seq)), []).append(idx)
 
-            if cfg.no_rss:
-                psihat = _chain_viterbi(cfg, params, sd, Ys, Ye, L)
-                rss = "O" * L
-            else:
-                psihat, rss = CYK.viterbi_alignment(
-                    cfg, params, sd, Ys, Ye)
-                psihat = psihat[:L]
+        results = [None] * len(reads)
+        for Lp in sorted(buckets):
+            cfg, params = scan_config(self.cfg0, self.params0, Lp)
+            g = J.kernels(cfg).g
+            if g0 is None:
+                g0 = g
+                EN_singles = np.zeros_like(np.asarray(params.singles))
+                EN_pairs = np.zeros_like(np.asarray(params.pairs))
+            idxs = buckets[Lp]
+            for k0 in range(0, len(idxs), SCAN_BATCH):
+                chunk = idxs[k0:k0 + SCAN_BATCH]
+                sds = [J.make_seqdata(cfg, reads[i].seq, reads[i].qual)
+                       for i in chunk]
+                sd_b = __import__("jax").tree.map(
+                    lambda *xs: np.stack(xs), *sds)
+                res = SC.scan_posteriors_batch(cfg, params, sd_b)
+                EN_singles += np.asarray(res["EN"].singles)
+                EN_pairs += np.asarray(res["EN"].pairs)
+                Pys_b = np.asarray(res["Pys"])
+                Pye_b = np.asarray(res["Pye"])
+                Pyi_b = np.asarray(res["Pyi"])
+                Ys_b = np.asarray(res["Ys"])
+                Ye_b = np.asarray(res["Ye"])
+                for t, i in enumerate(chunk):
+                    L = len(reads[i].seq)
+                    Ys, Ye = int(Ys_b[t]), int(Ye_b[t])
+                    if cfg.no_rss:
+                        psihat = _chain_viterbi(
+                            cfg, params, sds[t], Ys, Ye, L)
+                        rss = "O" * L
+                    else:
+                        psihat, rss = CYK.viterbi_alignment(
+                            cfg, params, sds[t], Ys, Ye)
+                        psihat = psihat[:L]
+                    results[i] = (Pys_b[t][:L], Pye_b[t][:L + 1],
+                                  Pyi_b[t][:L], Ys, Ye, psihat, rss)
 
+        M = g0.M
+        for r, resu in zip(reads, results):
+            Pys, Pye, Pyi, Ys, Ye, psihat, rss = resu
             mot = "".join(
-                " " if (p == 0 or p == M - 1) else g.nodes[int(p)]
+                " " if (p == 0 or p == M - 1) else g0.nodes[int(p)]
                 for p in psihat)
             out.write(f"id: {r.id}\n")
             out.write("start: " + _fmt_vec(
@@ -100,11 +134,11 @@ class Scanner:
             out.write(f"mot: {mot}\n")
 
         en_tabs = []
-        for t, sz in enumerate(g.table_sizes):
+        for t, sz in enumerate(g0.table_sizes):
             if sz == 6:
-                en_tabs.append(EN_pairs[g.pair_table_index[t]])
+                en_tabs.append(EN_pairs[g0.pair_table_index[t]])
             else:
-                en_tabs.append(EN_singles[g.single_table_index[t]])
+                en_tabs.append(EN_singles[g0.single_table_index[t]])
         en_str = "[" + ",".join(_fmt_vec(t) for t in en_tabs) + "]"
         print("E[N]:", en_str, file=log)
         print("scan end:", time.time() - t0, file=log)

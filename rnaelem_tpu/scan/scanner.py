@@ -71,51 +71,63 @@ def state_masks(cfg: J.ModelConfig) -> StateMasks:
     )
 
 
-def _aux_zeros(cfg, g, dtype):
-    return {k: jnp.zeros((cfg.Lp, g.S, g.S), dtype)
+def _aux_zeros(cfg, g, dtype, B):
+    return {k: jnp.zeros((B, cfg.Lp, g.S, g.S), dtype)
             for k in ("auxR", "auxL", "auxPL", "auxPR")}
 
 
 def _masked_sum(G, mask):
-    """Sum transition posteriors per position under a [S,S] mask."""
-    return (G * mask[None, :, :]).sum(axis=(1, 2))
+    """Sum transition posteriors per position under a [S,S] mask;
+    G has leading (B, Lp) axes."""
+    return (G * mask[None, None, :, :]).sum(axis=(2, 3))
 
 
 def _argmax_last(v):
     """max_index semantics: ties resolve to the LAST maximal index
-    (util.hpp:232-241)."""
-    n = v.shape[0]
-    return n - 1 - jnp.argmax(v[::-1])
+    (util.hpp:232-241); batched over the leading axis."""
+    n = v.shape[-1]
+    return n - 1 - jnp.argmax(v[..., ::-1], axis=-1)
 
 
 def scan_posteriors(cfg: J.ModelConfig, params: J.Params, sd: J.SeqData):
-    """Per-read posteriors + E[N] contribution + Ys/Ye.
-
-    Returns dict with Pys [Lp], Pye [Lp+1], Pyi [Lp], PyN, Z, Ys, Ye,
-    EN (Params-shaped gradients), all linear-space probabilities.
-    """
+    """Per-read posteriors + E[N] contribution + Ys/Ye (B=1 wrapper)."""
     J.kernels(cfg)
     state_masks(cfg)
-    return _scan_posteriors_jit(cfg, params, sd)
+    sd_b = jax.tree.map(lambda x: jnp.asarray(x)[None], sd)
+    out = _scan_posteriors_jit(cfg, params, sd_b)
+    return {k: (v if k == "EN" else jax.tree.map(lambda x: x[0], v))
+            for k, v in out.items()}
+
+
+def scan_posteriors_batch(cfg: J.ModelConfig, params: J.Params,
+                          sd_b: J.SeqData):
+    """Batched posterior + conditional-end passes: all reads of a
+    length bucket go through the batched DP at once (the reference
+    threads reads across cores instead, motif_scanner.hpp:215-260).
+    EN is the batch-aggregated expected emission count."""
+    J.kernels(cfg)
+    state_masks(cfg)
+    return _scan_posteriors_jit(cfg, params, sd_b)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
 def _scan_posteriors_jit(cfg: J.ModelConfig, params: J.Params,
-                         sd: J.SeqData):
+                         sd_b: J.SeqData):
     assert cfg.with_aux
     k = J.kernels(cfg)
     g = k.g
     dtype = jnp.dtype(cfg.dtype)
     m = state_masks(cfg)
-    bp_ok, eff = J._effective_bp_mask_jit(cfg, sd)
+    B = sd_b.L.shape[0]
+    bp_ok, eff = J._effective_bp_mask_batch_jit(cfg, sd_b)
 
     def z_all_fn(aux, p):
-        parts = J._logZ_parts_jit(cfg, p, sd, aux, bp_ok, False)
-        return lse(parts, axis=-1), parts
+        parts = J._batch_logZ_parts_jit(cfg, p, sd_b, aux, bp_ok)
+        return lse(parts, axis=-1), parts           # [B], [B,3]
 
-    aux0 = _aux_zeros(cfg, g, dtype)
+    aux0 = _aux_zeros(cfg, g, dtype, B)
     z, vjp, parts = jax.vjp(z_all_fn, aux0, params, has_aux=True)
-    (gaux, gparams) = vjp(jnp.ones((), dtype))
+    (gaux, gparams) = vjp(jnp.ones((B,), dtype))
 
     Pys = (_masked_sum(gaux["auxR"], m.r_start)
            + _masked_sum(gaux["auxL"], m.l_start)
@@ -125,38 +137,44 @@ def _scan_posteriors_jit(cfg: J.ModelConfig, params: J.Params,
            + _masked_sum(gaux["auxL"], m.l_in)
            + _masked_sum(gaux["auxPL"], m.pl_in)
            + _masked_sum(gaux["auxPR"], m.pr_in))
-    PyN = jnp.exp(parts[0] - z)
+    PyN = jnp.exp(parts[:, 0] - z)
 
-    inb = jnp.arange(cfg.Lp) < sd.L
+    inb = jnp.arange(cfg.Lp)[None, :] < sd_b.L[:, None]
     Pys = jnp.where(inb, Pys, 0.0)
     Pyi = jnp.where(inb, Pyi, 0.0)
-    Ys = _argmax_last(jnp.where(inb, Pys, -1.0))
+    Ys = _argmax_last(jnp.where(inb, Pys, -1.0))    # [B]
 
-    # conditional end pass, start pinned at Ys
-    pos = jnp.arange(cfg.Lp)[:, None, None]
+    # conditional end pass, start pinned per read at Ys
+    pos = jnp.arange(cfg.Lp)[None, :, None, None]
     at = lambda allow: jnp.where(
-        pos == Ys, jnp.where(allow[None, :, :], 0.0, NEG), 0.0
+        pos == Ys[:, None, None, None],
+        jnp.where(allow[None, None, :, :], 0.0, NEG), 0.0
     ).astype(dtype)
     aux_end = dict(auxR=at(m.r_start), auxL=at(m.l_start),
                    auxPL=at(m.pl_start), auxPR=at(m.pr_start))
 
     def ze_fn(aux):
-        parts = J._logZ_parts_jit(cfg, params, sd, aux, bp_ok, False)
-        return lse(parts, axis=-1)
+        parts_e = J._batch_logZ_parts_jit(cfg, params, sd_b, aux, bp_ok)
+        return lse(parts_e, axis=-1)
 
     ze, vjpe = jax.vjp(ze_fn, aux_end)
-    (gaux_e,) = vjpe(jnp.ones((), dtype))
+    (gaux_e,) = vjpe(jnp.ones((B,), dtype))
     Pye_pos = (_masked_sum(gaux_e["auxR"], m.r_end)
                + _masked_sum(gaux_e["auxL"], m.l_end)
                + _masked_sum(gaux_e["auxPL"], m.pl_end)
                + _masked_sum(gaux_e["auxPR"], m.pr_end))
     Pye_pos = jnp.where(inb, Pye_pos, 0.0)
-    lastb = jnp.clip(sd.L - 1, 0, cfg.Lp - 1)
-    pye_L = ((gaux_e["auxR"][lastb] + gaux_e["auxPR"][lastb])
-             * m.r_tail).sum()
-    Pye = jnp.concatenate([Pye_pos, jnp.zeros((1,), dtype)])
-    Pye = Pye.at[sd.L].add(pye_L)
-    Ye = _argmax_last(jnp.where(jnp.arange(cfg.Lp + 1) <= sd.L,
-                                Pye, -1.0))
+    lastb = jnp.clip(sd_b.L - 1, 0, cfg.Lp - 1)     # [B]
+    gR = jnp.take_along_axis(
+        gaux_e["auxR"], lastb[:, None, None, None], axis=1)[:, 0]
+    gPR = jnp.take_along_axis(
+        gaux_e["auxPR"], lastb[:, None, None, None], axis=1)[:, 0]
+    pye_L = ((gR + gPR) * m.r_tail[None]).sum(axis=(1, 2))   # [B]
+    Pye = jnp.concatenate(
+        [Pye_pos, jnp.zeros((B, 1), dtype)], axis=1)
+    Pye = Pye + (jnp.arange(cfg.Lp + 1)[None, :]
+                 == sd_b.L[:, None]) * pye_L[:, None]
+    Ye = _argmax_last(jnp.where(jnp.arange(cfg.Lp + 1)[None, :]
+                                <= sd_b.L[:, None], Pye, -1.0))
     return dict(Pys=Pys, Pyi=Pyi, Pye=Pye, PyN=PyN, Z=z, Ze=ze,
                 Ys=Ys, Ye=Ye, EN=gparams, eff=eff)

@@ -60,7 +60,8 @@ def stack_reads(cfg: J.ModelConfig, reads, negatives=None,
         ari.append(bool(sd.has_motif))
         sign.append(-1.0 if bool(sd.has_motif) else 1.0)
         neg.append(False)
-        keys.append(np.asarray(seq).tobytes())
+        # mask shapes depend on the length bucket -> key by (Lp, bytes)
+        keys.append((cfg.Lp, np.asarray(seq).tobytes()))
     for seq in negatives or []:
         q = np.zeros(len(seq) + 1, np.int64)
         sds.append(J.make_seqdata(cfg, seq, q))

@@ -55,17 +55,34 @@ class Trainer:
         # one SPMD program): with a jax.sharding.Mesh, the batch is
         # sharded over 'data' and the DP + BPP pruning run on all chips
         self.mesh = mesh
-        if mesh is not None:
-            from ..parallel import mesh as MESH
-            self._mesh_step = MESH.make_sharded_per_read(
-                cfg, mesh, lik_ratio)
-            self._bp_fn = MESH.make_sharded_bp_masks(cfg, mesh)
-        else:
-            self._mesh_step = None
-            self._bp_fn = None
+        self._mesh_steps = {}   # per length-bucket sharded step / bp fn
         self.qr = FastqBatchReader()
         self._eval_cnt = 0
         self._eff_logged = False
+
+    def _bucket_cfg(self, reads, negs):
+        """Length-bucketed config for this minibatch: pad to the next
+        32-multiple instead of the file max, so mixed-length data reuses
+        a handful of compiled kernels (SURVEY §7.1 'Batching')."""
+        import dataclasses as dc
+        Lmax = max(max((len(s) for s, _ in reads), default=1),
+                   max((len(s) for s in negs), default=1))
+        Lp = min(self.cfg.Lp, max(32, ((Lmax + 31) // 32) * 32))
+        return self.cfg if Lp == self.cfg.Lp \
+            else dc.replace(self.cfg, Lp=Lp)
+
+    def _funcs_for(self, cfg):
+        """(step_fn, bp_fn) for one bucket config (mesh-sharded when a
+        mesh is attached; cached per bucket)."""
+        if self.mesh is None:
+            return None, None
+        if cfg not in self._mesh_steps:
+            from ..parallel import mesh as MESH
+            self._mesh_steps[cfg] = (
+                MESH.make_sharded_per_read(cfg, self.mesh,
+                                           self.lik_ratio),
+                MESH.make_sharded_bp_masks(cfg, self.mesh))
+        return self._mesh_steps[cfg]
 
     def set_fq(self, path: str):
         self.qr.open(path)
@@ -116,15 +133,17 @@ class Trainer:
                     negative_for(s, self.kmer_shuf, iter_cnt)))
         if not hasattr(self, "_bp_cache"):
             self._bp_cache = {}
-        batch = OBJ.stack_reads(self.cfg, reads,
+        cfg_b = self._bucket_cfg(reads, negs)
+        step_fn, bp_fn = self._funcs_for(cfg_b)
+        batch = OBJ.stack_reads(cfg_b, reads,
                                 negs if not self.no_shuffle else None,
                                 bp_cache=self._bp_cache,
-                                bp_fn=self._bp_fn)
-        if self._mesh_step is not None:
-            f_b, gr_b, eff_b = self._mesh_step(self.params, batch)
+                                bp_fn=bp_fn)
+        if step_fn is not None:
+            f_b, gr_b, eff_b = step_fn(self.params, batch)
         else:
             f_b, gr_b, eff_b = OBJ.batch_fn_grad_pr(
-                self.cfg, self.params, batch, self.lik_ratio)
+                cfg_b, self.params, batch, self.lik_ratio)
         fn, grads, eff = OBJ.reduce_per_read(f_b, gr_b, eff_b)
         gr = J.pack_params(self.g, grads)
         if not self._eff_logged:

@@ -1,0 +1,95 @@
+"""L-BFGS-B (--no-shuffle) validation against the reference binary
+(VERDICT r2 #6; /root/reference/RNAelem/optimizer.hpp:175-334).
+
+Golden provenance: the reference was built on this machine
+(g++ -std=c++14 -O3 RNAelem/main.cpp ushuffle.o -lpthread) and run as
+
+  RNAelem -f trna.fq -m '(.....)' --no-shuffle -i 8 --batch-size -1 \
+      -t 1 --out1 trna_ref.model --out2 trna_ref.raw
+
+where trna.fq is material/positive.fa (T->U) with flat '+' qualities and
+the has-motif sentinel '!'.  Its final objective decomposition (stderr):
+raw fn 0.13662 + L2 penalty 1.5765 = 1.713098.  The stored model is
+tests/golden/trna_noshuffle_ref.model.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from rnaelem_tpu import cli
+from rnaelem_tpu.model import io as MIO
+
+GOLD = os.path.join(os.path.dirname(__file__), "golden",
+                    "trna_noshuffle_ref.model")
+REF_RAW_FN = 0.13662      # reference objective at its optimum (no reg)
+REF_TOTAL = 1.713098      # incl. the L2 penalty it optimizes
+
+
+def _write_trna_fq(path):
+    seqs, cur = [], None
+    for line in open("/root/reference/material/positive.fa"):
+        line = line.strip()
+        if line.startswith(">"):
+            if cur:
+                seqs.append(cur)
+            cur = ""
+        else:
+            cur += line.replace("T", "U")
+    if cur:
+        seqs.append(cur)
+    with open(path, "w") as f:
+        for i, s in enumerate(seqs):
+            f.write(f"@t{i}\n{s}\n+\n{'+' * len(s)}!\n")
+    return len(seqs)
+
+
+def test_objective_matches_reference_at_its_optimum(tmp_path):
+    """Our objective evaluated AT the reference's converged parameters
+    reproduces the reference's final raw objective — pins the full
+    no-shuffle objective (BPP pruning + joint DP + part split) to the
+    reference implementation on real tRNA data."""
+    from rnaelem_tpu.train.objective import eval_file
+    fq = str(tmp_path / "trna.fq")
+    n = _write_trna_fq(fq)
+    assert n == 76
+    cfg, params = MIO.read_model(GOLD, Lp=96, dtype="float64")
+    fn, gr, eff = eval_file(cfg, params, fq)
+    # model file carries 6 significant digits -> ~1e-3 fn resolution
+    assert fn == pytest.approx(REF_RAW_FN, abs=2e-3)
+    # L2 penalty at the stored parameters completes the total
+    rho = np.concatenate([np.full(len(gr) - 2, cfg.rho_theta),
+                          [cfg.rho_lambda] * 2])
+    from rnaelem_tpu.model import joint as J
+    x = J.pack_params(J.kernels(cfg).g, params)
+    total = fn + float((rho * x * x / 2.0).sum())
+    assert total == pytest.approx(REF_TOTAL, abs=2e-3)
+
+
+def test_noshuffle_training_converges_like_reference(tmp_path):
+    """Full --no-shuffle L-BFGS-B training from the same init reaches
+    the reference's optimum (loose tolerance: scipy's L-BFGS-B and the
+    reference's translated Fortran 2.1 differ in line-search details,
+    BASELINE.md 'Equivalence criteria')."""
+    fq = str(tmp_path / "trna.fq")
+    _write_trna_fq(fq)
+    out1 = str(tmp_path / "train.model")
+    cli.main(["train", "-f", fq, "-m", "(.....)", "--no-shuffle",
+              "-i", "8", "--batch-size", "-1",
+              "--out1", out1, "--out3", "~NULL~"])
+    cfg_r, p_ref = MIO.read_model(GOLD, Lp=96, dtype="float64")
+    cfg_o, p_our = MIO.read_model(out1, Lp=96, dtype="float64")
+    np.testing.assert_allclose(np.asarray(p_our.lam),
+                               np.asarray(p_ref.lam), atol=0.05)
+    np.testing.assert_allclose(np.asarray(p_our.singles),
+                               np.asarray(p_ref.singles), atol=0.05)
+    np.testing.assert_allclose(np.asarray(p_our.pairs),
+                               np.asarray(p_ref.pairs), atol=0.05)
+    from rnaelem_tpu.train.objective import eval_file
+    fn, gr, _ = eval_file(cfg_o, p_our, fq)
+    from rnaelem_tpu.model import joint as J
+    x = J.pack_params(J.kernels(cfg_o).g, p_our)
+    rho = np.concatenate([np.full(len(x) - 2, cfg_o.rho_theta),
+                          [cfg_o.rho_lambda] * 2])
+    total = fn + float((rho * x * x / 2.0).sum())
+    assert total <= REF_TOTAL + 0.02
