@@ -66,6 +66,9 @@ def test_objective_matches_reference_at_its_optimum(tmp_path):
     assert total == pytest.approx(REF_TOTAL, abs=2e-3)
 
 
+@pytest.mark.skipif(not os.environ.get("RNAELEM_HEAVY"),
+                    reason="full toy training ~20 min on CPU; run with "
+                           "RNAELEM_HEAVY=1 (verified in round 3)")
 def test_noshuffle_training_converges_like_reference(tmp_path):
     """Full --no-shuffle L-BFGS-B training from the same init reaches
     the reference's optimum (loose tolerance: scipy's L-BFGS-B and the
