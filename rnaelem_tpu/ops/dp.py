@@ -50,6 +50,11 @@ import numpy as np
 # perf-bisect hook (trace-time static): RNAELEM_ABLATE=ep,b,m,o,p,spec
 _ABLATE = frozenset(
     x for x in os.environ.get("RNAELEM_ABLATE", "").split(",") if x)
+if _ABLATE:
+    import sys as _sys
+    print("*** RNAELEM_ABLATE=%s: DP sub-terms are DISABLED — results "
+          "are WRONG; this is a profiling bisect hook only ***"
+          % ",".join(sorted(_ABLATE)), file=_sys.stderr, flush=True)
 
 from .semiring import NEG, lse, logadd, lam_mul, mask_neg
 from .ep_fast import build_ep_static

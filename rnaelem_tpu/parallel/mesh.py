@@ -131,6 +131,9 @@ def make_sharded_bp_masks(cfg: J.ModelConfig, mesh: Mesh):
     bp_jit = jax.jit(bp)
 
     def run(cfg_, sd_b):
+        # the sharded bp kernel is specialized on the construction-time
+        # cfg; a different bucket cfg would silently get wrong shapes
+        assert cfg_ == cfg, "make_sharded_bp_masks: cfg mismatch"
         nd = mesh.devices.size
         n = int(sd_b.L.shape[0])
         npad = (-n) % nd

@@ -270,13 +270,17 @@ def _candidates(h: _Host, e: int, i: int, j: int, s: int):
                 kk = i + DK
                 vv = np.clip(ll - kk, 0, None)
                 s1, s2, s3 = tup[:, 1], tup[:, 2], tup[:, 3]
+                # mask -inf BEFORE the lambda multiply: -inf * 0 would
+                # make NaNs (and RuntimeWarning spam) that the where
+                # only hides after the fact
+                tfin = np.where(tsc == NEG, 0.0, tsc)
                 sc = (h.P[ll[:, :, None], vv[:, :, None],
                           s1[None, None, :]]
                       + h.LL[kk[:, :, None], DK[:, :, None],
                              s2[None, None, :]]
                       + h.LL[j, DL[:, :, None], s3[None, None, :]]
                       + np.where(tsc == NEG, NEG,
-                                 h.lamv[s] * tsc)[:, :, None])
+                                 h.lamv[s] * tfin)[:, :, None])
                 sc = np.where(valid[:, :, None], sc, NEG)
                 flat = np.argmax(sc)
                 di, ki, qi = np.unravel_index(flat, sc.shape)

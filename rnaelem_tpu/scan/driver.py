@@ -54,6 +54,16 @@ def _bucket_of(L: int, lo: int = 32, step: int = 32) -> int:
 SCAN_BATCH = 64
 
 
+def _pad_size(n: int) -> int:
+    """Next power of two (capped at SCAN_BATCH): ragged tail chunks
+    compile at most log2(SCAN_BATCH) kernel variants per bucket instead
+    of one per distinct tail size."""
+    p = 1
+    while p < n:
+        p *= 2
+    return min(p, SCAN_BATCH)
+
+
 class Scanner:
     def __init__(self, cfg: J.ModelConfig, params: J.Params):
         self.cfg0 = cfg
@@ -89,9 +99,17 @@ class Scanner:
                 chunk = idxs[k0:k0 + SCAN_BATCH]
                 sds = [J.make_seqdata(cfg, reads[i].seq, reads[i].qual)
                        for i in chunk]
+                # pad ragged tail chunks up to a power-of-two batch so
+                # each bucket compiles O(log) kernels, not one per
+                # distinct tail size; pad rows replicate the last read
+                # and their results are discarded below
+                bpad = _pad_size(len(chunk))
+                sds += [sds[-1]] * (bpad - len(chunk))
                 sd_b = __import__("jax").tree.map(
                     lambda *xs: np.stack(xs), *sds)
-                res = SC.scan_posteriors_batch(cfg, params, sd_b)
+                valid = np.zeros(bpad)
+                valid[: len(chunk)] = 1.0
+                res = SC.scan_posteriors_batch(cfg, params, sd_b, valid)
                 EN_singles += np.asarray(res["EN"].singles)
                 EN_pairs += np.asarray(res["EN"].pairs)
                 Pys_b = np.asarray(res["Pys"])

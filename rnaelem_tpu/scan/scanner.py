@@ -94,25 +94,32 @@ def scan_posteriors(cfg: J.ModelConfig, params: J.Params, sd: J.SeqData):
     J.kernels(cfg)
     state_masks(cfg)
     sd_b = jax.tree.map(lambda x: jnp.asarray(x)[None], sd)
-    out = _scan_posteriors_jit(cfg, params, sd_b)
+    out = _scan_posteriors_jit(cfg, params, sd_b, jnp.ones(
+        (1,), jnp.dtype(cfg.dtype)))
     return {k: (v if k == "EN" else jax.tree.map(lambda x: x[0], v))
             for k, v in out.items()}
 
 
 def scan_posteriors_batch(cfg: J.ModelConfig, params: J.Params,
-                          sd_b: J.SeqData):
+                          sd_b: J.SeqData, valid=None):
     """Batched posterior + conditional-end passes: all reads of a
     length bucket go through the batched DP at once (the reference
     threads reads across cores instead, motif_scanner.hpp:215-260).
-    EN is the batch-aggregated expected emission count."""
+    EN is the batch-aggregated expected emission count; rows where
+    ``valid`` is 0 (padding) contribute nothing to it."""
     J.kernels(cfg)
     state_masks(cfg)
-    return _scan_posteriors_jit(cfg, params, sd_b)
+    dtype = jnp.dtype(cfg.dtype)
+    B = sd_b.L.shape[0]
+    if valid is None:
+        valid = jnp.ones((B,), dtype)
+    return _scan_posteriors_jit(cfg, params, sd_b,
+                                jnp.asarray(valid, dtype))
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
 def _scan_posteriors_jit(cfg: J.ModelConfig, params: J.Params,
-                         sd_b: J.SeqData):
+                         sd_b: J.SeqData, valid):
     assert cfg.with_aux
     k = J.kernels(cfg)
     g = k.g
@@ -127,7 +134,10 @@ def _scan_posteriors_jit(cfg: J.ModelConfig, params: J.Params,
 
     aux0 = _aux_zeros(cfg, g, dtype, B)
     z, vjp, parts = jax.vjp(z_all_fn, aux0, params, has_aux=True)
-    (gaux, gparams) = vjp(jnp.ones((B,), dtype))
+    # the E[N] aggregate (gparams) sums only valid rows; the per-read
+    # aux posteriors are normalized per read, so scaling row b by
+    # valid[b] either keeps them (1) or zeroes a padding row (0)
+    (gaux, gparams) = vjp(valid)
 
     Pys = (_masked_sum(gaux["auxR"], m.r_start)
            + _masked_sum(gaux["auxL"], m.l_start)
@@ -158,7 +168,7 @@ def _scan_posteriors_jit(cfg: J.ModelConfig, params: J.Params,
         return lse(parts_e, axis=-1)
 
     ze, vjpe = jax.vjp(ze_fn, aux_end)
-    (gaux_e,) = vjpe(jnp.ones((B,), dtype))
+    (gaux_e,) = vjpe(valid)
     Pye_pos = (_masked_sum(gaux_e["auxR"], m.r_end)
                + _masked_sum(gaux_e["auxL"], m.l_end)
                + _masked_sum(gaux_e["auxPL"], m.pl_end)

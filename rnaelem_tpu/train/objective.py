@@ -43,6 +43,51 @@ class BatchData(NamedTuple):
     eff: jnp.ndarray         # [B] bpp_eff per read
 
 
+class BpMaskCache:
+    """Bounded LRU for min-BPP pruning masks keyed by (Lp, seq bytes).
+
+    The reference recomputes the masks at every visit
+    (energy_model.hpp:268-276); caching them is this framework's
+    improvement, so the cache owns its memory story: entries are
+    evicted least-recently-used once the byte total exceeds the cap
+    (default 256 MB, RNAELEM_BP_CACHE_MB)."""
+
+    def __init__(self, max_bytes: int = None):
+        import os
+        from collections import OrderedDict
+        if max_bytes is None:
+            max_bytes = int(os.environ.get(
+                "RNAELEM_BP_CACHE_MB", "256")) << 20
+        self.max_bytes = max_bytes
+        self._d = OrderedDict()
+        self._bytes = 0
+
+    @staticmethod
+    def _size(v):
+        bp, _ = v
+        return bp.nbytes + 64
+
+    def __contains__(self, k):
+        return k in self._d
+
+    def __len__(self):
+        return len(self._d)
+
+    def __getitem__(self, k):
+        self._d.move_to_end(k)
+        return self._d[k]
+
+    def __setitem__(self, k, v):
+        if k in self._d:
+            self._bytes -= self._size(self._d[k])
+        self._d[k] = v
+        self._d.move_to_end(k)
+        self._bytes += self._size(v)
+        while self._bytes > self.max_bytes and len(self._d) > 1:
+            _, old = self._d.popitem(last=False)
+            self._bytes -= self._size(old)
+
+
 def stack_reads(cfg: J.ModelConfig, reads, negatives=None,
                 bp_cache: dict = None, bp_fn=None) -> BatchData:
     """Host-side: pack reads (+ optional shuffled negatives) into a batch.

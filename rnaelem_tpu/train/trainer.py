@@ -132,7 +132,7 @@ class Trainer:
                 negs.append(seq_to_ints(
                     negative_for(s, self.kmer_shuf, iter_cnt)))
         if not hasattr(self, "_bp_cache"):
-            self._bp_cache = {}
+            self._bp_cache = OBJ.BpMaskCache()
         cfg_b = self._bucket_cfg(reads, negs)
         step_fn, bp_fn = self._funcs_for(cfg_b)
         batch = OBJ.stack_reads(cfg_b, reads,
