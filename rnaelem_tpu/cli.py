@@ -177,7 +177,13 @@ def do_train(args, also_scan: bool):
     if mesh is not None:
         print("mesh:", mesh.devices.size, "devices (data-parallel)",
               file=sys.stderr)
-    interim = _out_stream(args.out3) if args.out3 != "~COUT~" else None
+    # multi-process: every host trains the identical SPMD program; only
+    # process 0 writes files (shared-filesystem contract of the
+    # reference's array mode, motif_array_trainer.hpp:20-58)
+    import jax
+    is_writer = jax.process_index() == 0
+    interim = _out_stream(args.out3) \
+        if (args.out3 != "~COUT~" and is_writer) else None
     tr = Trainer(cfg, params, max_iter=args.max_iter, eps=args.epsilon,
                  lambda_init=args.lambda_init, kmer_shuf=args.kmer_shuf,
                  batch_size=args.batch_size, no_shuffle=args.no_shuffle,
@@ -186,6 +192,8 @@ def do_train(args, also_scan: bool):
                  mesh=mesh)
     tr.set_fq(args.seq_fname)
     params = tr.train()
+    if not is_writer:
+        return
     out1 = _out_stream(args.out1)
     MIO.write_model(out1, cfg, params)
     if out1 not in (sys.stdout, sys.stderr):
@@ -272,6 +280,11 @@ def _setup_jax_cache():
 def main(argv=None):
     _setup_jax_cache()
     args = build_parser().parse_args(argv)
+    if os.environ.get("JAX_PLATFORMS"):
+        # the axon TPU plugin can ignore the env var; force it through
+        # the config API (same workaround as tests/conftest.py)
+        import jax
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     if args.coordinator:
         # multi-host entry point: every host runs the same command with
         # its own --process-id; jax.devices() then spans the pod

@@ -1,4 +1,4 @@
-"""Multi-chip data parallelism over a jax.sharding.Mesh.
+"""Multi-chip / multi-host data parallelism over a jax.sharding.Mesh.
 
 The reference's distributed objective evaluation (TR_ARRAY,
 motif_trainer.hpp:608-614 + motif_array_trainer.hpp) broadcasts the model
@@ -7,8 +7,15 @@ fn/gr/eff from text files.  TPU-native equivalent: the read batch is
 sharded over the mesh 'data' axis, parameters are replicated, and the
 per-step all-reduce is a psum over ICI — one jitted step, no filesystem.
 
-Multi-host: call jax.distributed.initialize() first; the same code then
-runs with a global mesh across hosts.
+Multi-host: call jax.distributed.initialize() first; the mesh then spans
+non-addressable devices, so input staging switches from device_put to
+jax.make_array_from_process_local_data (every host builds the identical
+global batch from the shared FASTQ — the reference's shared-filesystem
+contract, arrayjob_manager.hpp:121-151 — and JAX ships each host only
+its own shard), and per-read outputs come back through a host-side
+allgather so the read-order reduction stays byte-identical on every
+process (tests/test_multiprocess.py runs this with 2 local CPU
+processes).
 """
 from __future__ import annotations
 
@@ -27,6 +34,41 @@ from ..train import objective as OBJ
 def data_mesh(devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     return Mesh(np.asarray(devices), ("data",))
+
+
+def _fully_addressable(mesh: Mesh) -> bool:
+    pi = jax.process_index()
+    return all(d.process_index == pi for d in mesh.devices.flat)
+
+
+def _stage(tree, mesh: Mesh, spec):
+    """Place a host pytree onto the mesh with one PartitionSpec for all
+    leaves.  Single-process: plain device_put.  Multi-process: every
+    host holds the full array (identical bytes by construction);
+    make_array_from_process_local_data slices out this host's shards and
+    assembles the global jax.Array without any cross-host transfer."""
+    sh = NamedSharding(mesh, spec)
+    if _fully_addressable(mesh):
+        return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sh, np.asarray(x), global_shape=np.asarray(x).shape), tree)
+
+
+def _collect(tree, mesh: Mesh):
+    """Bring a 'data'-sharded device pytree fully back to every host.
+    Multi-process: local shards -> host numpy -> process allgather in
+    process order, which reconstructs the global batch order (the mesh
+    is built from jax.devices(), sorted by process)."""
+    if _fully_addressable(mesh):
+        return jax.tree.map(np.asarray, tree)
+    from jax.experimental import multihost_utils as mh
+
+    def one(x):
+        loc = mh.global_array_to_host_local_array(x, mesh, P("data"))
+        return mh.process_allgather(np.asarray(loc), tiled=True)
+
+    return jax.tree.map(one, tree)
 
 
 def _local_total(cfg, lik_ratio, p, batch):
@@ -61,11 +103,15 @@ def make_sharded_fn_grad(cfg: J.ModelConfig, mesh: Mesh,
     def run(params, batch: OBJ.BatchData):
         nd = mesh.devices.size
         batch = pad_batch(batch, nd)
-        sharding = NamedSharding(mesh, P("data"))
-        batch = jax.tree.map(
-            lambda x: jax.device_put(x, sharding), batch)
-        params = jax.device_put(params, NamedSharding(mesh, P()))
-        return step_jit(params, batch)
+        batch = _stage(batch, mesh, P("data"))
+        params = _stage(params, mesh, P())
+        fn, grads, eff = step_jit(params, batch)
+        # psum-reduced outputs are replicated; any addressable shard is
+        # the full value
+        return (np.asarray(jax.device_get(fn)),
+                jax.tree.map(lambda g: np.asarray(jax.device_get(g)),
+                             grads),
+                np.asarray(jax.device_get(eff)))
 
     return run
 
@@ -102,11 +148,9 @@ def make_sharded_per_read(cfg: J.ModelConfig, mesh: Mesh,
         nd = mesh.devices.size
         n = batch.valid.shape[0]
         batch = pad_batch(batch, nd)
-        sharding = NamedSharding(mesh, P("data"))
-        batch = jax.tree.map(
-            lambda x: jax.device_put(x, sharding), batch)
-        params = jax.device_put(params, NamedSharding(mesh, P()))
-        f, grads_b, eff = step_jit(params, batch)
+        batch = _stage(batch, mesh, P("data"))
+        params = _stage(params, mesh, P())
+        f, grads_b, eff = _collect(step_jit(params, batch), mesh)
         trim = lambda x: x[:n]
         return trim(f), jax.tree.map(trim, grads_b), trim(eff)
 
@@ -143,9 +187,8 @@ def make_sharded_bp_masks(cfg: J.ModelConfig, mesh: Mesh):
                 return jnp.pad(x, pw)
             sd_b = jax.tree.map(padf, sd_b)
             sd_b = sd_b._replace(L=sd_b.L.at[n:].set(1))
-        sharding = NamedSharding(mesh, P("data"))
-        sd_b = jax.tree.map(lambda x: jax.device_put(x, sharding), sd_b)
-        keep, eff = bp_jit(sd_b)
+        sd_b = _stage(sd_b, mesh, P("data"))
+        keep, eff = _collect(bp_jit(sd_b), mesh)
         return keep[:n], eff[:n]
 
     return run
