@@ -184,12 +184,23 @@ def do_train(args, also_scan: bool):
     is_writer = jax.process_index() == 0
     interim = _out_stream(args.out3) \
         if (args.out3 != "~COUT~" and is_writer) else None
+    array_eval = None
+    if args.array > 1:
+        # TR_ARRAY: file-based distributed gradient via N subprocess
+        # slaves (the reference's SGE protocol; parallel/arrayjob.py).
+        # Full-batch semantics, mutually exclusive with --mesh.
+        from .parallel.arrayjob import ArrayEvaluator
+        mesh = None
+        tmp = args.tmp if args.tmp not in (
+            "~NULL~", "~COUT~", "~CERR~") else f"tmp{os.getpid()}"
+        array_eval = ArrayEvaluator(cfg, args.array, tmp,
+                                    args.seq_fname, args.lik_ratio)
     tr = Trainer(cfg, params, max_iter=args.max_iter, eps=args.epsilon,
                  lambda_init=args.lambda_init, kmer_shuf=args.kmer_shuf,
                  batch_size=args.batch_size, no_shuffle=args.no_shuffle,
                  lik_ratio=args.lik_ratio, interim_out=interim,
                  mask_indices=_parse_param_set(args.param_set),
-                 mesh=mesh)
+                 mesh=mesh, array_eval=array_eval)
     tr.set_fq(args.seq_fname)
     params = tr.train()
     if not is_writer:
@@ -273,6 +284,10 @@ def _setup_jax_cache():
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update(
             "jax_persistent_cache_min_compile_time_secs", 1.0)
+        # true-f32 matmuls: the TPU default rounds matmul inputs to
+        # bf16, which costs ~1% relative gradient error in the
+        # exp-space DP (measured vs CPU f64; "highest" gives 1e-4)
+        jax.config.update("jax_default_matmul_precision", "high")
     except Exception:
         pass
 

@@ -317,6 +317,32 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64):
         blk = jax.lax.dynamic_slice_in_dim(T, j + PAD - n + 1, n, axis=0)
         return blk[::-1]
 
+    def col_rows(d: DiffFactors, h, j):
+        """The row slices of the differentiable inputs that column j
+        actually reads.  Routing every d/h read through this dict lets
+        the backward scan take cotangents of ROWS (a few hundred KB per
+        column, emitted as stacked scan outputs) instead of
+        accumulating cotangents of the full tensors in the carry —
+        which was over half the backward wall clock (copies + adds of
+        ~45 MB of mostly-zero tensors per column)."""
+        i_of_w = j - warr
+        iw = jnp.clip(i_of_w, 0, Lp - 1)
+        jm = jnp.clip(j - 1, 0, Lp - 1)
+        return dict(
+            lam=d.lam,
+            eR=d.eR[jm],                    # [S, B]
+            eL=d.eL[iw],                    # [Wp+1, S, B]
+            bgl=d.bg2[iw],                  # [Wp+1, B]
+            bgr=d.bg2[jm],                  # [B]
+            pv=d.pv[j],                     # [Wp+1, Tp, B]
+            alphaP=d.alphaP[j],             # [Wp+1, B]
+            emisA=[h["emisA"][b][:, j] for b in range(2)],  # [4, w, B]
+            emisB=[flip(h["emisB"][b], j, Cp + 1)
+                   for b in range(2)],      # [Cp+1, v, 4, B]
+            eext=[h["eext"][b][j] for b in range(2)],       # [w, B]
+            eSZ=h["eSZ"],                   # whole (small)
+        )
+
     def chain(src, eRrow, aR):
         """Right-transition chain: [w,S,B] -> [w,S,B] target-indexed."""
         m = _finmax(src, 1, keepdims=True)              # [w,1,B]
@@ -341,12 +367,12 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64):
                            ex, preferred_element_type=dtype)
         return _safe_log(t, dtype) + m + eRrow + extra
 
-    def pem_dense(d, c, j, i_of_w):
+    def pem_dense(rows, aux, c, j, i_of_w):
         """Dense pair-emission tensor [w,S,S,B] (with_aux scanner path)."""
-        bgl = d.bg2[jnp.clip(i_of_w, 0, Lp - 1)]         # [w,B]
-        bgr = d.bg2[jnp.clip(j - 1, 0, Lp - 1)]          # [B]
+        bgl = rows["bgl"]                                 # [w,B]
+        bgr = rows["bgr"]                                 # [B]
         bg_part = bgl[:, None, None, :] + bgr[None, None, None, :]
-        pvj = d.pv[j]                                     # [w, Tp, B]
+        pvj = rows["pv"]                                  # [w, Tp, B]
         bp_part = pvj[:, pt_tabd, :]                      # [w, S, S, B]
         wl = c.wsp[jnp.clip(i_of_w, 0, Lp - 1)][:, None, None, :]
         wr = c.wsp[jnp.clip(j - 1, 0, Lp - 1)][None, None, None, :]
@@ -356,22 +382,21 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64):
         pem = jnp.where(pt_mask[None, :, :, None],
                         pem + TPm[None, :, :, None], NEG)
         if dims.with_aux:
-            pem = pem + aux_row(d.auxPL, i_of_w)[:, :, :, :] \
-                + d.auxPR[jnp.clip(j - 1, 0, Lp - 1)][None]
+            pem = pem + aux_row(aux[2], i_of_w)[:, :, :, :] \
+                + aux[3][jnp.clip(j - 1, 0, Lp - 1)][None]
         return pem
 
-    def p_col(d, c, j, i_of_w, prevE2, prevP2, lamv):
+    def p_col(rows, aux, c, j, i_of_w, prevE2, prevP2, lamv):
         """U2: P <- pem * (E | P), factored into static-matrix matmuls."""
         if dims.with_aux:
-            pem = pem_dense(d, c, j, i_of_w)
+            pem = pem_dense(rows, aux, c, j, i_of_w)
             a_pe = lse(pem + prevE2[:, None, :, :], axis=2)
             a_pp = lse(pem + prevP2[:, None, :, :], axis=2)
         else:
             wl = c.wsp[jnp.clip(i_of_w, 0, Lp - 1)]       # [w,B]
             wr = c.wsp[jnp.clip(j - 1, 0, Lp - 1)]        # [B]
-            bgf = jnp.exp(d.bg2[jnp.clip(i_of_w, 0, Lp - 1)]
-                          + d.bg2[jnp.clip(j - 1, 0, Lp - 1)][None])
-            pvj = d.pv[j]                                 # [w, Tp, B]
+            bgf = jnp.exp(rows["bgl"] + rows["bgr"][None])
+            pvj = rows["pv"]                              # [w, Tp, B]
             outs = []
             for src in (prevE2, prevP2):
                 m = _finmax(src, 1, keepdims=True)        # [w,1,B]
@@ -392,7 +417,7 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64):
                 outs.append(_safe_log(acc, dtype) + m)
             a_pe, a_pp = outs
         a_pp = a_pp + lam_mul(lamv[None], c.stk[j][:, None, :])
-        Pcol = logadd(a_pe, a_pp) + d.alphaP[j][:, None, :]
+        Pcol = logadd(a_pe, a_pp) + rows["alphaP"][:, None, :]
         return mask_neg(Pcol, c.okP[j][:, None, :])
 
     def b_col(c, j, T1F, T2col):
@@ -414,15 +439,15 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64):
         Bcol = _safe_log(out, dtype) + m1[0] + m2
         return mask_neg(Bcol, c.okB[j][:, None, :])
 
-    def m_col(d, c, j, Bcol, dtype_):
+    def m_col(rows, aux, c, j, Bcol, dtype_):
         """U6: multiloop M chain, sequential over the band
         (motif_model.hpp:346-366)."""
         iw = jnp.clip(j - warr, 0, Lp - 1)
-        eLrows = d.eL[iw]                        # [w, S, B] source-keyed
+        eLrows = rows["eL"]                      # [w, S, B] source-keyed
         gMs = c.gate_M[iw]                       # [w, B]
         bvecs = mask_neg(Bcol, c.okM[j][:, None, :])
         okMj = c.okM[j]                          # [w, B]
-        auxLrows = d.auxL[iw] if dims.with_aux else None
+        auxLrows = aux[1][iw] if dims.with_aux else None
         B = Bcol.shape[-1]
 
         def m_step(x, blk):
@@ -442,7 +467,7 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64):
         _, Mcol = jax.lax.scan(m_step, jnp.full((S, B), NEG, dtype_), xs)
         return Mcol
 
-    def ep_col(d, c, h, j, PF, LB, Lcol):
+    def ep_col(rows, c, j, PF, LB, Lcol):
         """U7 TT_E_P internal-loop sum (motif_model.hpp:329-335,
         energy_param.hpp:744-795), chain-factored.
 
@@ -457,7 +482,7 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64):
         B = Lcol.shape[-1]
         if not have_ep:
             return jnp.full((Wp + 1, S, B), NEG, dtype)
-        lam = _lam2(d.lam)
+        lam = _lam2(rows["lam"])
         mPF = _finmax(PF, (0, 1, 2))[None, None, None, :]
         exPF = jnp.exp(PF - mPF)
         mL3 = _finmax(Lcol[: Cp + 1], (0, 1))[None, None, :]
@@ -482,9 +507,9 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64):
         # size/asymmetry class x misA (outer pair), classes summed.
         # misA's w = x + u1 geometry is the Ind indicator matmul (a
         # gather would serialize on TPU).
-        mBsh = [_shear(flip(h["emisB"][b], j, Cp + 1), Wp + 1, 0.0)
+        mBsh = [_shear(rows["emisB"][b], Wp + 1, 0.0)
                 for b in range(2)]                 # [dl, x, 4, B]
-        mArow = [h["emisA"][b][:, j] for b in range(2)]     # [4, w, B]
+        mArow = rows["emisA"]                      # [4, w, B] per bucket
         V_bu = []
         for b in range(2):
             wA = [mArow[b][g_][ruj] * ru_ok[:, :, None]
@@ -493,12 +518,13 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64):
             for x_ in range(n_cls):
                 g_ = grp[x_]
                 t = (mBsh[b][:, :, g_, None, :]
-                     * h["eSZ"][b][x_][:, None, :, :]
+                     * rows["eSZ"][b][x_][:, None, :, :]
                      * wA[g_][None, :, :, :])      # [dl, x, u1, B]
                 Wall = t if Wall is None else Wall + t
             # V[x, u1, ar, B] = sum_dl Tsh * Wall (mul-reduce fusion —
-            # measured faster than the dot_general form, whose (x, b)
-            # batch dims force relayouts)
+            # measured faster than both dot_general forms: batch dims
+            # (x, B) or (B,) alike force relayouts that cost more than
+            # the VPU reduce)
             V_bu.append((Tsh[:, :, None, :, :]
                          * Wall[:, :, :, None, :]).sum(axis=0))
 
@@ -522,7 +548,7 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64):
                           preferred_element_type=dtype)
         # base-coupled specials share the same shifts -> add in exp space
         if not (dims.no_ene or "spec" in _ABLATE):
-            outw = outw + _ep_specials(d, c, h, j, exPF, exLB, exL3, lam)
+            outw = outw + _ep_specials(c, j, exPF, exLB, exL3, lam)
         out = jnp.einsum("wkb,kt->wtb", outw, Hot_k2_tgt,
                          preferred_element_type=dtype)
         shift = mPF[0, 0] + mL3[0] + mLB[0, 0]    # [1, B]
@@ -530,7 +556,7 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64):
 
     SPEC_COMBOS = ((0, 1), (1, 0), (1, 1), (1, 2), (2, 1), (2, 2))
 
-    def _ep_specials(d, c, h, j, exPF, exLB, exL3, lam):
+    def _ep_specials(c, j, exPF, exLB, exL3, lam):
         """Base-coupled internal loops — stack-adjacent bulges (0,1)/(1,0)
         and 1x1/1x2/2x1/2x2 internals (energy_param.hpp:744-795) — in the
         same chain-factored exp space; returns a [w, n2, B] contribution
@@ -565,7 +591,7 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64):
             acc = t if acc is None else acc + t
         return acc                                 # [w, n2, B]
 
-    def o_col(d, c, h, j, Orows, Pcol, eRrow, g_o2, aR):
+    def o_col(rows, c, j, Orows, Pcol, eRrow, g_o2, aR):
         """Orows[w'] = O row j-w' (slot 0 is ignored: okP kills w=0)."""
         prevO = Orows[1]
         oo = chain1(prevO, eRrow, aR, g_o2[None, :])
@@ -574,7 +600,7 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64):
         mP = _finmax(Pcol, (0, 1))[None, None, :]
         tot = None
         for b in range(2):
-            exP = jnp.exp(Pcol - mP) * h["eext"][b][j][:, None, :]
+            exP = jnp.exp(Pcol - mP) * rows["eext"][b][:, None, :]
             Gb = jnp.einsum("wab,wcb->acb", exP, exO,
                             preferred_element_type=dtype)
             ob = jnp.einsum("qb,qt->tb",
@@ -598,14 +624,38 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64):
             O=flip(Ot, j - 1, Wp),
         )
 
-    def cols_fn(win, j, d: DiffFactors, c: ConstFactors, h):
-        """All of column j from the windows of previous rows — the pure
-        function both the forward scan and the reverse (outside) scan
-        differentiate; no self-referential table reads remain."""
+    def push_win(win, cols):
+        """Windows for column j+1 from column j's windows + outputs —
+        lets a scan step compute KB consecutive columns against ONE
+        materialized window read (the flip slices above), halving the
+        dominant per-column data movement for KB=2."""
+        pre = lambda W, new: jnp.concatenate([new[None], W[:-1]], axis=0)
+        return dict(
+            L=pre(win["L"], cols["L"]),
+            P=pre(win["P"], cols["P"]),
+            T1=pre(win["T1"], cols["T1"]),
+            E=cols["E"], T2=cols["T2"],
+            O=pre(win["O"], cols["O"]),
+        )
+
+    # columns per scan step.  KB=2 measured within noise of KB=1 on the
+    # TPU at B=128 (138.6 vs 137.2 seqs/s) while doubling compile time
+    # — and compile time is paid once per (pattern, bucket) across the
+    # 135-pattern pipeline, so stay at 1.  The block machinery is kept
+    # (and exercised by the unit suite via any even-Lp config if bumped)
+    # in case future column bodies get small enough to fuse.
+    KB = 1
+
+    def cols_fn(win, j, rows, aux, c: ConstFactors):
+        """All of column j from the windows of previous rows and the
+        per-column row slices (col_rows) — the pure function both the
+        forward scan and the reverse (outside) scan differentiate; no
+        self-referential table reads remain.  `aux` is the tuple of
+        full posterior-injection tensors (scanner path) or None."""
         i_of_w = j - warr
-        lamv = _lam2(d.lam)[bucket]                # [S, 1 or B]
-        eRrow = d.eR[jnp.clip(j - 1, 0, Lp - 1)]   # [S, B]
-        aR = aux_row(d.auxR, j - 1) if dims.with_aux else None
+        lamv = _lam2(rows["lam"])[bucket]          # [S, 1 or B]
+        eRrow = rows["eR"]                         # [S, B]
+        aR = aux_row(aux[0], j - 1) if dims.with_aux else None
         g_o2 = c.gate_O2[jnp.clip(j - 1, 0, Lp - 1)]  # [B]
         B = eRrow.shape[-1]
         negcol = jnp.full((1, Wp + 1, S, B), NEG, dtype)
@@ -618,7 +668,7 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64):
         if "p" in _ABLATE:
             Pcol = _shift_w(win["P"][0], 1)
         else:
-            Pcol = p_col(d, c, j, i_of_w, _shift_w(win["E"], 2),
+            Pcol = p_col(rows, aux, c, j, i_of_w, _shift_w(win["E"], 2),
                          _shift_w(win["P"][0], 2), lamv)
 
         # U3: 2 (TT_2_2 / TT_2_P)
@@ -636,7 +686,8 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64):
         T1col = mask_neg(logadd(T2col, Bcol), c.okB[j][:, None, :])
 
         # U6: M chain (TT_M_M / TT_M_B)
-        Mcol = Bcol if "m" in _ABLATE else m_col(d, c, j, Bcol, Lcol.dtype)
+        Mcol = Bcol if "m" in _ABLATE \
+            else m_col(rows, aux, c, j, Bcol, Lcol.dtype)
 
         # U7: E (TT_E_H / TT_E_M / TT_E_P)
         hterm = jnp.where(
@@ -648,7 +699,7 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64):
         else:
             PF = jnp.concatenate([Pcol[None], win["P"]], axis=0)
             LB = jnp.concatenate([Lcol[None], win["L"]], axis=0)
-            ep_term = ep_col(d, c, h, j, PF, LB, Lcol)
+            ep_term = ep_col(rows, c, j, PF, LB, Lcol)
         Ecol = logadd(logadd(hterm, mterm), ep_term)
         Ecol = mask_neg(Ecol, c.okE[j][:, None, :])
 
@@ -658,22 +709,36 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64):
         else:
             Orows = jnp.concatenate(
                 [jnp.full((1, S, B), NEG, dtype), win["O"]], axis=0)
-            Ocol = o_col(d, c, h, j, Orows, Pcol, eRrow, g_o2, aR)
+            Ocol = o_col(rows, c, j, Orows, Pcol, eRrow, g_o2, aR)
 
         return dict(L=Lcol, P=Pcol, E=Ecol, M=Mcol, B=Bcol,
                     T1=T1col, T2=T2col, O=Ocol)
 
-    def col_update(tabs, j, d: DiffFactors, c: ConstFactors, h):
-        cols = cols_fn(windows_of(tabs, j), j, d, c, h)
-        LLt, Pt, Et, Mt, Bt, T1t, T2t, Ot = tabs
-        return (LLt.at[j + PAD].set(cols["L"]),
-                Pt.at[j + PAD].set(cols["P"]),
-                Et.at[j + PAD].set(cols["E"]),
-                Mt.at[j + PAD].set(cols["M"]),
-                Bt.at[j + PAD].set(cols["B"]),
-                T1t.at[j + PAD].set(cols["T1"]),
-                T2t.at[j + PAD].set(cols["T2"]),
-                Ot.at[j + PAD].set(cols["O"]))
+    def _aux_of(d: DiffFactors):
+        return (d.auxR, d.auxL, d.auxPL, d.auxPR) if dims.with_aux \
+            else None
+
+    def block_cols(win, j0, rows_list, aux, c):
+        """KB consecutive columns j0..j0+KB-1 from the windows before
+        column j0; later columns' windows are derived in-flight."""
+        outs = []
+        for t in range(KB):
+            cols = cols_fn(win, j0 + t, rows_list[t], aux, c)
+            outs.append(cols)
+            if t + 1 < KB:
+                win = push_win(win, cols)
+        return outs
+
+    def col_update(tabs, j0, d: DiffFactors, c: ConstFactors, h):
+        outs = block_cols(windows_of(tabs, j0), j0,
+                          [col_rows(d, h, j0 + t) for t in range(KB)],
+                          _aux_of(d), c)
+        order = ("L", "P", "E", "M", "B", "T1", "T2", "O")
+        return tuple(
+            jax.lax.dynamic_update_slice_in_dim(
+                T, jnp.stack([cols[k] for cols in outs]), j0 + PAD,
+                axis=0)
+            for T, k in zip(tabs, order))
 
     def init_tabs(B):
         z3 = jnp.full((Lp + 1 + PAD, Wp + 1, S, B), NEG, dtype)
@@ -688,10 +753,11 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64):
         h = hoisted(d, c)
         B = c.wsp.shape[-1]
 
-        def body(tabs, j):
-            return col_update(tabs, j, d, c, h), None
+        def body(tabs, j0):
+            return col_update(tabs, j0, d, c, h), None
 
-        tabs, _ = jax.lax.scan(body, init_tabs(B), jnp.arange(1, Lp + 1))
+        tabs, _ = jax.lax.scan(body, init_tabs(B),
+                               jnp.arange(1, Lp + 1, KB))
         return tabs
 
     def _extract_parts(Ofin, c):
@@ -717,14 +783,56 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64):
         tables, which XLA was copying wholesale every iteration.  Each
         step re-runs cols_fn for column j against windows read from the
         saved forward tables (exact: cols_fn never reads row >= j) and
-        unshifts the window cotangents."""
+        unshifts the window cotangents.
+
+        Row cotangents of the per-read factors come out as STACKED scan
+        outputs (one small row set per column) and are assembled into
+        the full DiffFactors cotangent after the scan; the hoisted
+        energy exponentials h = exp(lam * const) are folded into per-
+        column lambda contributions (d h/d lam = const * h) on the spot.
+        Accumulating full-tensor d/h cotangents in the carry instead —
+        the round-3 design — was over half the backward wall clock."""
         d, c, tabs = res
         B = c.wsp.shape[-1]
         # gbar [B,3] enters the O-column cotangent at j == L_b
         ge = jnp.zeros((S, B), dtype).at[end_states, :].add(gbar.T)
-        d_zero = jax.tree.map(jnp.zeros_like, d)
 
-        h, h_vjp = jax.vjp(lambda dd: hoisted(dd, c), d)
+        h = hoisted(d, c)
+        aux = _aux_of(d)
+        lam2 = _lam2(d.lam)
+
+        # masked d(lam*x)/dlam factors of the hoisted exponentials
+        # (lam_mul pins -inf energies, so their lam-derivative is 0)
+        def xfac(t):
+            return jnp.where(jnp.isneginf(t), 0.0, t)
+
+        xA = xfac(c.ep["misA"])                       # [4, Lp+1, w, B]
+        # same rows-leading padded layout as h["emisB"] (hoisted)
+        xBc = xfac(c.ep["misB"]).transpose(1, 2, 0, 3)
+        xB = jnp.concatenate(
+            [jnp.zeros((PAD,) + xBc.shape[1:], dtype), xBc], axis=0)
+        xE = xfac(c.ext)                              # [Lp+1, w, B]
+        cmask_sz = (dlarr[:, None, None] + dlarr[None, :, None]
+                    <= c.C[None, None, :])
+        xSZ = [jnp.asarray(xfac(jnp.asarray(SZ_np[x].T, dtype)), dtype)
+               for x in range(n_cls)]                 # [dl, u1]
+
+        def lam_chain(dr, rows, j):
+            """[2, B] lambda contribution from this column's hoisted-row
+            cotangents: sum(g * x * value) per bucket."""
+            out = []
+            for b in range(2):
+                t = (dr["emisA"][b] * xA[:, j] * rows["emisA"][b]
+                     ).sum(axis=(0, 1))
+                t = t + (dr["emisB"][b] * flip(xB, j, Cp + 1)
+                         * rows["emisB"][b]).sum(axis=(0, 1, 2))
+                t = t + (dr["eext"][b] * xE[j] * rows["eext"][b]
+                         ).sum(axis=0)
+                for x in range(n_cls):
+                    t = t + (dr["eSZ"][b][x] * xSZ[x][:, :, None]
+                             * rows["eSZ"][b][x]).sum(axis=(0, 1))
+                out.append(t)
+            return jnp.stack(out)                     # [2, B]
 
         def zwin():
             zc = jnp.zeros((Wp + 1, S, B), dtype)
@@ -738,22 +846,41 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64):
 
         def unshift(u):
             return jnp.concatenate(
-                [u[1:], jnp.zeros_like(u[:1])], axis=0)
+                [u[KB:], jnp.zeros_like(u[:KB])], axis=0)
 
-        def body(carry, j):
-            u_win, d_acc, h_acc = carry
-            wins_prev = windows_of(tabs, j)
-            u_cols = dict(
-                L=u_win["L"][0], P=u_win["P"][0], T1=u_win["T1"][0],
-                E=u_win["E"], T2=u_win["T2"],
-                M=jnp.zeros((Wp + 1, S, B), dtype),
-                B=jnp.zeros((Wp + 1, S, B), dtype),
-                O=u_win["O"][0] + ge * (c.L == j)[None, :],
-            )
-            _, vjp_fn = jax.vjp(
-                lambda w, dd, hh: cols_fn(w, j, dd, c, hh),
-                wins_prev, d, h)
-            dw, dd, dh = vjp_fn(u_cols)
+        def body(carry, jt):
+            """One reverse step over the KB-column block topped by jt.
+            u_win[k] holds the accumulated cotangent of row jt-k from
+            consumers already processed (columns > jt); intra-block
+            dataflow (column j0+t feeding j0+t+1..jt) is differentiated
+            inside the block's composite vjp."""
+            u_win, dlam_dir, dlam_ch, aux_acc = carry
+            j0 = jt - (KB - 1)
+            wins_prev = windows_of(tabs, j0)
+            rows_list = [col_rows(d, h, j0 + t) for t in range(KB)]
+            zc = jnp.zeros((Wp + 1, S, B), dtype)
+            u_cols_list = []
+            for t in range(KB):
+                k = KB - 1 - t          # depth of column j0+t in u_win
+                top = (k == 0)
+                u_cols_list.append(dict(
+                    L=u_win["L"][k], P=u_win["P"][k], T1=u_win["T1"][k],
+                    E=u_win["E"] if top else zc,
+                    T2=u_win["T2"] if top else zc,
+                    M=zc, B=zc,
+                    O=u_win["O"][k] + ge * (c.L == j0 + t)[None, :],
+                ))
+            if dims.with_aux:
+                _, vjp_fn = jax.vjp(
+                    lambda w, rl, a: block_cols(w, j0, rl, a, c),
+                    wins_prev, rows_list, aux)
+                dw, dr_list, da = vjp_fn(u_cols_list)
+                aux_acc = jax.tree.map(jnp.add, aux_acc, da)
+            else:
+                _, vjp_fn = jax.vjp(
+                    lambda w, rl: block_cols(w, j0, rl, None, c),
+                    wins_prev, rows_list)
+                dw, dr_list = vjp_fn(u_cols_list)
             u_next = dict(
                 L=unshift(u_win["L"]) + dw["L"],
                 P=unshift(u_win["P"]) + dw["P"],
@@ -761,15 +888,52 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64):
                 E=dw["E"], T2=dw["T2"],
                 O=unshift(u_win["O"]) + dw["O"],
             )
-            d_acc = jax.tree.map(jnp.add, d_acc, dd)
-            h_acc = jax.tree.map(jnp.add, h_acc, dh)
-            return (u_next, d_acc, h_acc), None
+            for t, dr in enumerate(dr_list):
+                dlam_dir = dlam_dir + dr["lam"]
+                dlam_ch = dlam_ch + lam_chain(dr, rows_list[t], j0 + t)
+            ys = dict(
+                eR=jnp.stack([dr["eR"] for dr in dr_list]),
+                eL=jnp.stack([dr["eL"] for dr in dr_list]),
+                bgl=jnp.stack([dr["bgl"] for dr in dr_list]),
+                bgr=jnp.stack([dr["bgr"] for dr in dr_list]),
+                pv=jnp.stack([dr["pv"] for dr in dr_list]),
+                alphaP=jnp.stack([dr["alphaP"] for dr in dr_list]))
+            return (u_next, dlam_dir, dlam_ch, aux_acc), ys
 
-        h_zero = jax.tree.map(jnp.zeros_like, h)
-        (_, d_acc, h_acc), _ = jax.lax.scan(
-            body, (zwin(), d_zero, h_zero), jnp.arange(Lp, 0, -1))
-        (dh_d,) = h_vjp(h_acc)
-        d_acc = jax.tree.map(jnp.add, d_acc, dh_d)
+        aux_zero = jax.tree.map(jnp.zeros_like, aux) \
+            if dims.with_aux else None
+        (_, dlam_dir, dlam_ch, aux_acc), ys = jax.lax.scan(
+            body, (zwin(), jnp.zeros_like(d.lam),
+                   jnp.zeros((2, B), dtype), aux_zero),
+            jnp.arange(Lp, 0, -KB))
+
+        # --- assemble full cotangents from the stacked rows (j asc) ---
+        # blocks descend; within a block columns ascend -> reverse the
+        # block axis only, then flatten to one ascending j axis
+        asc = jax.tree.map(
+            lambda y: y[::-1].reshape((Lp,) + y.shape[2:]), ys)
+        zrow = lambda y: jnp.zeros_like(y[:1])
+        d_eR = asc["eR"]                            # rows j-1, bijective
+        d_pv = jnp.concatenate([zrow(asc["pv"]), asc["pv"]], axis=0)
+        d_alphaP = jnp.concatenate(
+            [zrow(asc["alphaP"]), asc["alphaP"]], axis=0)
+        # eL/bgl rows clip(j - w): one scatter-add over the static
+        # (j-1, w) -> row index map (runs once, outside the scan)
+        iw_mat = jnp.asarray(np.clip(
+            np.arange(1, Lp + 1)[:, None] - np.arange(Wp + 1)[None, :],
+            0, Lp - 1))
+        d_eL = jnp.zeros_like(d.eL).at[iw_mat].add(asc["eL"])
+        d_bg2 = jnp.zeros_like(d.bg2).at[iw_mat].add(asc["bgl"])
+        d_bg2 = d_bg2.at[jnp.arange(Lp)].add(asc["bgr"])
+        d_lam = dlam_dir + (dlam_ch.sum(-1) if d.lam.ndim == 1
+                            else dlam_ch)
+        d_acc = d._replace(
+            eR=d_eR, eL=d_eL, bg2=d_bg2, pv=d_pv, alphaP=d_alphaP,
+            lam=d_lam,
+            auxR=aux_acc[0] if dims.with_aux else None,
+            auxL=aux_acc[1] if dims.with_aux else None,
+            auxPL=aux_acc[2] if dims.with_aux else None,
+            auxPR=aux_acc[3] if dims.with_aux else None)
         c_zero = jax.tree.map(_zero_cotangent, c)
         return d_acc, c_zero
 
