@@ -88,6 +88,79 @@ def _cyk_tables_jit(cfg: J.ModelConfig, params: J.Params, sd: J.SeqData,
     return tabs, d, c
 
 
+def _il_np(tab, seq, j, Wp, Cp, C, no_ene, dots_cum=None):
+    """Pure-numpy twin of energy.tables.iloop_scores for the host
+    traceback: the jnp version dispatches dozens of device ops per
+    visited E-cell, which through the TPU tunnel dominated the whole
+    scan (measured seconds per read).  Same math, host arrays."""
+    w = np.arange(Wp + 1)[:, None, None]
+    dk = np.arange(Cp + 1)[None, :, None]
+    dl = np.arange(Cp + 1)[None, None, :]
+    i = j - w
+    k = i + dk
+    l = j - dl
+    u1, u2 = dk, dl
+    usum = u1 + u2
+    umax = np.maximum(u1, u2)
+    sg = lambda a, idx: a[np.clip(idx, 0, a.shape[0] - 1)]
+
+    valid = (usum >= 1) & (usum <= C) & (w - dk - dl >= 0) & (i >= 0)
+    if dots_cum is not None:
+        valid = valid & ((sg(dots_cum, k) - sg(dots_cum, i)) == dk) \
+            & ((sg(dots_cum, j * np.ones_like(l)) - sg(dots_cum, l))
+               == dl)
+    if no_ene:
+        return np.where(valid, 0.0, NEG)
+
+    MAXLOOP = 30
+    t = tab["bp"][sg(seq, i - 1), sg(seq, j + 0 * w)]
+    t2 = tab["bp"][sg(seq, l - 1), sg(seq, k)]
+    b_i = sg(seq, i)
+    b_jm = sg(seq, (j - 1) + 0 * w)
+    b_l = sg(seq, l)
+    b_km = sg(seq, k - 1)
+
+    uc = np.clip(umax, 0, MAXLOOP)
+    usc = np.clip(usum, 0, MAXLOOP)
+    au = np.where(t > 2, tab["term_au"], 0.0)
+    au2 = np.where(t2 > 2, tab["term_au"], 0.0)
+    bulge = np.where(umax == 1, tab["bulge"][uc] + tab["stack"][t, t2],
+                     tab["bulge"][uc] + au + au2)
+    int11 = tab["int11"][t, t2, b_i, b_jm]
+    int21a = tab["int21"][t, t2, b_i, b_l, b_jm]
+    int21b = tab["int21"][t2, t, b_l, b_i, b_km]
+    int22 = tab["int22"][t, t2, b_i, b_km, b_l, b_jm]
+    short = np.where(
+        usum == 2, int11,
+        np.where((u1 == 1) & (u2 == 2), int21a,
+                 np.where((u1 == 2) & (u2 == 1), int21b, int22)))
+    mis_long = np.where(
+        (u1 == 1) | (u2 == 1),
+        tab["mismatch_1n"][t, b_i, b_jm]
+        + tab["mismatch_1n"][t2, b_l, b_km],
+        np.where(
+            usum == 5,
+            tab["mismatch_23"][t, b_i, b_jm]
+            + tab["mismatch_23"][t2, b_l, b_km],
+            tab["mismatch_i"][t, b_i, b_jm]
+            + tab["mismatch_i"][t2, b_l, b_km]))
+    longi = tab["internal"][usc] \
+        + tab["ninio"][np.clip(np.abs(u1 - u2), 0, MAXLOOP)] + mis_long
+    z = np.where((u1 == 0) | (u2 == 0), bulge,
+                 np.where(umax <= 2, short, longi))
+    z = np.where(usum > MAXLOOP, NEG, z)
+    return np.where(valid, z, NEG)
+
+
+@functools.lru_cache(maxsize=8)
+def _tab_np(cfg: J.ModelConfig):
+    k = J.kernels(cfg)
+    return {key: np.asarray(v) for key, v in k.tab.items()
+            if key in ("bp", "term_au", "bulge", "stack", "int11",
+                       "int21", "int22", "mismatch_1n", "mismatch_23",
+                       "mismatch_i", "internal", "ninio")}
+
+
 @dataclasses.dataclass
 class _Host:
     """Host-side candidate scorer over numpy-fied tables/factors."""
@@ -150,13 +223,11 @@ class _Host:
 
     def il(self, j):
         if j not in self.il_cache:
-            from ..energy.tables import iloop_scores
-            from ..model.joint import kernels
-            k = kernels(self.cfg)
-            self.il_cache[j] = np.asarray(iloop_scores(
-                k.tab, self.c.seq, j, self.cfg.Wp, self.cfg.Cp,
-                self.c.C, self.cfg.no_ene,
-                self.c.dots_cum if self.cfg.fix_rss else None))
+            self.il_cache[j] = _il_np(
+                _tab_np(self.cfg), np.asarray(self.c.seq), j,
+                self.cfg.Wp, self.cfg.Cp, self.C, self.cfg.no_ene,
+                np.asarray(self.c.dots_cum) if self.cfg.fix_rss
+                else None)
         return self.il_cache[j]
 
 
@@ -396,3 +467,45 @@ def viterbi_alignment(cfg: J.ModelConfig, params: J.Params, sd: J.SeqData,
     tabs, d, c = cyk_tables(cfg, params, sd, jnp.asarray(Ys),
                             jnp.asarray(Ye))
     return traceback(cfg, tabs, d, c)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _cyk_tables_batch_jit(cfg: J.ModelConfig, params: J.Params, sd_b,
+                          Ys_b, Ye_b):
+    """vmapped CYK tables: one device program per chunk instead of one
+    per read (which left the batch lanes empty AND paid a dispatch per
+    read through the TPU tunnel)."""
+    from .scanner import state_masks
+    assert cfg.with_aux
+    k = J.kernels(cfg)
+    m = state_masks(cfg)
+    dtype = jnp.dtype(cfg.dtype)
+    bp_ok_b, _ = J._effective_bp_mask_batch_jit(cfg, sd_b)
+    kern = _cyk_kernel(cfg)
+
+    def one(sd, Ys, Ye, bp_ok):
+        aux = _pin_aux(cfg, k.g, m, Ys, Ye, sd.L, dtype)
+        d, c = J.factors(cfg, params, sd, bp_ok, aux)
+        return kern(d, c), d, c
+
+    return jax.vmap(one)(sd_b, Ys_b, Ye_b, bp_ok_b)
+
+
+def viterbi_alignment_batch(cfg: J.ModelConfig, params: J.Params,
+                            sd_b, Ys_b, Ye_b, n_valid: int):
+    """Batched Viterbi: device DP over the whole chunk, ONE host fetch
+    of the tables, then per-read host tracebacks over numpy views.
+    Returns a list of n_valid (state_path, struct) tuples."""
+    tabs_b, d_b, c_b = _cyk_tables_batch_jit(
+        cfg, params, sd_b, jnp.asarray(Ys_b), jnp.asarray(Ye_b))
+    tabs_np = [np.asarray(t) for t in tabs_b]
+    d_np = jax.tree.map(np.asarray, d_b)
+    c_np = jax.tree.map(np.asarray, c_b)
+    out = []
+    for t in range(n_valid):
+        row = lambda x: x[t]
+        tabs_t = tuple(tab[t] for tab in tabs_np)
+        d_t = jax.tree.map(row, d_np)
+        c_t = jax.tree.map(row, c_np)
+        out.append(traceback(cfg, tabs_t, d_t, c_t))
+    return out

@@ -117,6 +117,12 @@ class Scanner:
                 Pyi_b = np.asarray(res["Pyi"])
                 Ys_b = np.asarray(res["Ys"])
                 Ye_b = np.asarray(res["Ye"])
+                vit = None
+                if not cfg.no_rss:
+                    # batched CYK: one device program + one table fetch
+                    # per chunk; host tracebacks over numpy views
+                    vit = CYK.viterbi_alignment_batch(
+                        cfg, params, sd_b, Ys_b, Ye_b, len(chunk))
                 for t, i in enumerate(chunk):
                     L = len(reads[i].seq)
                     Ys, Ye = int(Ys_b[t]), int(Ye_b[t])
@@ -125,8 +131,7 @@ class Scanner:
                             cfg, params, sds[t], Ys, Ye, L)
                         rss = "O" * L
                     else:
-                        psihat, rss = CYK.viterbi_alignment(
-                            cfg, params, sds[t], Ys, Ye)
+                        psihat, rss = vit[t]
                         psihat = psihat[:L]
                     results[i] = (Pys_b[t][:L], Pye_b[t][:L + 1],
                                   Pyi_b[t][:L], Ys, Ye, psihat, rss)
