@@ -38,7 +38,7 @@ class Trainer:
                  lambda_init: float = 0.0, kmer_shuf: int = 2,
                  batch_size: int = 100, no_shuffle: bool = False,
                  lik_ratio: bool = False, interim_out=None,
-                 mask_indices=None, mesh=None):
+                 mask_indices=None, mesh=None, array_eval=None):
         self.cfg = cfg
         self.params = params
         self.g = J.kernels(cfg).g
@@ -56,6 +56,10 @@ class Trainer:
         # sharded over 'data' and the DP + BPP pruning run on all chips
         self.mesh = mesh
         self._mesh_steps = {}   # per length-bucket sharded step / bp fn
+        # file-based distributed evaluation (the reference's TR_ARRAY
+        # protocol, parallel/arrayjob.ArrayEvaluator): full-batch
+        # fn/gr per step through N filesystem slaves
+        self.array_eval = array_eval
         self.qr = FastqBatchReader()
         self._eval_cnt = 0
         self._eff_logged = False
@@ -109,9 +113,30 @@ class Trainer:
             rho = np.where(keep[:len(rho)], rho[:len(rho)], 0.0)
         return lower, upper, rtype, rho
 
+    def _objective_array(self, x, iter_cnt):
+        """One distributed fn/gr evaluation through the file-based
+        array protocol (motif_trainer.hpp:608-614): broadcast = model
+        snapshot file, all-reduce = parse-and-sum of slave files.  The
+        snapshot rides the same 6-significant-digit model writer the
+        reference broadcasts with — its per-step quantization quirk
+        included."""
+        self.params = J.unpack_params(self.g, x, self.params)
+        if self.interim_out is not None:
+            self.interim_out.write(
+                MIO.interim_line(self.cfg, self.params) + "\n")
+            self.interim_out.flush()
+        fn, gr, eff = self.array_eval(self.params)
+        if not self._eff_logged:
+            log("considered BP (sum eff):", eff)
+            self._eff_logged = True
+        self._eval_cnt += 1
+        return fn, np.asarray(gr)
+
     def _objective(self, x, iter_cnt):
         """One fn/gr evaluation over the next minibatch
         (motif_trainer.hpp:595-633)."""
+        if self.array_eval is not None:
+            return self._objective_array(x, iter_cnt)
         qr = self.qr
         if qr.N() - qr.orig().cnt() < qr.N_batch():
             qr.skip(qr.N() - qr.orig().cnt())
