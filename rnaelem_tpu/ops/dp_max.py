@@ -33,7 +33,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from .semiring import NEG, lse, logadd, lam_mul, mask_neg, seg_lse
-from ..energy.tables import iloop_scores
 from . import ep_fast as EPF
 
 
@@ -225,14 +224,67 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64,
     dlarr = jnp.arange(Cp + 1)
     diag_col = jnp.where(diag, 0.0, NEG).astype(dtype)
 
+    energy_np = {k: np.asarray(v) for k, v in energy_tab.items()
+                 if k in ("internal", "ninio", "bulge")}
+    ep_static = EPF.build_ep_static(g, Cp, energy_np, dims.no_ene)
     if semiring == "sum":
-        energy_np = {k: np.asarray(v) for k, v in energy_tab.items()
-                     if k in ("internal", "ninio", "bulge")}
-        ep_static = EPF.build_ep_static(g, Cp, energy_np, dims.no_ene)
         ep_term_fast = EPF.make_ep_term(g, dims, energy_tab, ep_static,
                                         dtype)
     else:
         ep_term_fast = None
+    # factorized internal-loop reconstruction (max path): class size
+    # matrices [n_cls, u1, u2] + static (w, dk, dl) geometry; replaces
+    # the per-column iloop_scores whose 6-D energy-table gathers were
+    # ~80% of the vmapped CYK kernel's wall clock on TPU.
+    SZ_cls = jnp.asarray(ep_static.SZ, dtype)        # [n_cls, u1, u2]
+    grp_cls = ep_static.grp
+    _w3 = np.arange(Wp + 1)[:, None, None]
+    _dk3 = np.arange(Cp + 1)[None, :, None]
+    _dl3 = np.arange(Cp + 1)[None, None, :]
+    _vc3 = np.clip(_w3 - _dk3 - _dl3, 0, Wp)
+    # flat index into mB[g].reshape(-1) ([Cp+1, Wp+1] row-major):
+    # row dl, column v = clip(w - dk - dl)
+    _mb_flat_idx = jnp.asarray(
+        np.broadcast_to(_dl3, _vc3.shape) * (Wp + 1) + _vc3)
+    _geom_ok = jnp.asarray((_dk3 + _dl3 >= 1) & (_w3 - _dk3 - _dl3 >= 0))
+    _usum3 = jnp.asarray((_dk3 + _dl3) + 0 * _w3)
+    # the six base-coupled specials' (dk, dl) slots (ep_fast seq_tables
+    # row order)
+    _SPECS = ((0, 1), (1, 0), (1, 1), (1, 2), (2, 1), (2, 2))
+
+    def il_factorized(c: ConstFactors, j):
+        """il[w, dk, dl] == energy.tables.iloop_scores(...) from the
+        precomputed per-sequence mismatch/au tables (c.ep) — no energy-
+        table gathers (crosschecked in tests/test_kernel_crosscheck)."""
+        ept = c.ep
+        mA = jax.lax.dynamic_index_in_dim(
+            ept["misA"], j, axis=1, keepdims=False)       # [4, w]
+        mBblk = _flip_rows(ept["misB"].transpose(1, 0, 2), j, Cp + 1)
+        mB = mBblk.transpose(1, 0, 2)                     # [4, dl, v]
+        spec6 = jax.lax.dynamic_index_in_dim(
+            ept["spec_il"], j, axis=1, keepdims=False)    # [6, w]
+        valid = _geom_ok & (_usum3 <= c.C) & (warr[:, None, None] <= j)
+        if dims.fix_rss:
+            dcum = c.dots_cum
+            i3 = j - warr[:, None, None]
+            ld = (dcum[jnp.clip(i3 + _dk3, 0, None)]
+                  - dcum[jnp.clip(i3, 0, None)]) == _dk3
+            rd = (dcum[j] - dcum[jnp.clip(j - dlarr, 0, None)]) == dlarr
+            valid = valid & ld & rd[None, None, :]
+        # mBv[g][w, dk, dl] = mB[g][dl, w - dk - dl] via ONE static
+        # flat-index gather per mismatch group (indices precomputed)
+        il = jnp.full((Wp + 1, Cp + 1, Cp + 1), NEG, dtype)
+        mBg_cache = {}
+        for x in range(ep_static.SZ.shape[0]):
+            gx = int(grp_cls[x])
+            if gx not in mBg_cache:
+                mBg_cache[gx] = mB[gx].reshape(-1)[_mb_flat_idx]
+            t = SZ_cls[x][None] + mA[gx][:, None, None] + mBg_cache[gx]
+            il = jnp.maximum(il, t)
+        if not dims.no_ene:
+            for ci, (dk0, dl0) in enumerate(_SPECS):
+                il = il.at[:, dk0, dl0].set(spec6[ci])
+        return jnp.where(valid, il, NEG)
 
     def aux_row(aux, p):
         return aux[jnp.clip(p, 0, Lp - 1)]
@@ -347,9 +399,7 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64,
         if ep_term_fast is not None:
             ep_term = ep_term_fast(d, c, j, Pt, LLt, Lcol)
         else:
-            il = iloop_scores(
-                energy_tab, c.seq, j, Wp, Cp, c.C, dims.no_ene,
-                c.dots_cum if dims.fix_rss else None)
+            il = il_factorized(c, j)
             PK = Pt[jnp.clip(j - dlarr, 0, Lp)]      # [dl, v, S]
             rows_ik = jnp.clip(j - warr[:, None] + dlarr[None, :], 0, Lp)
             LLik = LLt[rows_ik, dlarr[None, :], :]   # [w, dk, S]

@@ -491,21 +491,99 @@ def _cyk_tables_batch_jit(cfg: J.ModelConfig, params: J.Params, sd_b,
     return jax.vmap(one)(sd_b, Ys_b, Ye_b, bp_ok_b)
 
 
-def viterbi_alignment_batch(cfg: J.ModelConfig, params: J.Params,
-                            sd_b, Ys_b, Ye_b, n_valid: int):
-    """Batched Viterbi: device DP over the whole chunk, ONE host fetch
-    of the tables, then per-read host tracebacks over numpy views.
-    Returns a list of n_valid (state_path, struct) tuples."""
+def _pin_aux_np(cfg, g, m, Ys, Ye, L):
+    """Numpy twin of _pin_aux for the host traceback (the pin tensors
+    are pure 0/-inf patterns of (Ys, Ye, L) — rebuilding them beats
+    fetching ~1.3 MB/read of masks through the TPU tunnel)."""
+    Lp, S = cfg.Lp, g.S
+    pos = np.arange(Lp)[:, None, None]
+
+    def pin(allow_start, allow_end, tail=None):
+        a = np.zeros((Lp, S, S))
+        a = np.where(pos == Ys,
+                     np.where(np.asarray(allow_start)[None], 0.0, NEG),
+                     a)
+        a = a + np.where(pos == Ye,
+                         np.where(np.asarray(allow_end)[None], 0.0, NEG),
+                         0.0)
+        if tail is not None:
+            cond = (pos == L - 1) & (Ye == L)
+            a = a + np.where(cond,
+                             np.where(np.asarray(tail)[None], 0.0, NEG),
+                             0.0)
+        return a
+
+    return dict(
+        auxR=pin(m.r_start, m.r_end, m.r_tail),
+        auxL=pin(m.l_start, m.l_end),
+        auxPL=pin(m.pl_start, m.pl_end),
+        auxPR=pin(m.pr_start, m.pr_end, m.pr_tail),
+    )
+
+
+def cyk_batch_start(cfg: J.ModelConfig, params: J.Params, sd_b,
+                    Ys_b, Ye_b):
+    """Dispatch the chunk's CYK tables on device and start async host
+    copies; returns an opaque handle for cyk_batch_finish.  Split so the
+    driver can overlap this chunk's fetch with the next chunk's device
+    work (the tunnel transfer is the scan's single largest cost)."""
+    from .scanner import state_masks
+    # build the cached kernel/grammar/mask constants OUTSIDE the jit
+    # trace — constructing them inside _cyk_tables_batch_jit's first
+    # trace leaks tracers into the lru caches (crashes the 2nd chunk)
+    J.kernels(cfg)
+    state_masks(cfg)
+    _cyk_kernel(cfg)
+    import time
+    t0 = time.time()
     tabs_b, d_b, c_b = _cyk_tables_batch_jit(
         cfg, params, sd_b, jnp.asarray(Ys_b), jnp.asarray(Ye_b))
+    # aux pins are rebuilt on host: skip their transfer entirely
+    d_small = d_b._replace(auxR=None, auxL=None, auxPL=None, auxPR=None)
+    for leaf in jax.tree.leaves((tabs_b, d_small, c_b)):
+        try:
+            leaf.copy_to_host_async()
+        except Exception:
+            pass
+    return (tabs_b, d_small, c_b,
+            np.asarray(Ys_b).copy(), np.asarray(Ye_b).copy(), t0)
+
+
+def cyk_batch_finish(cfg: J.ModelConfig, handle, n_valid: int):
+    """Block on the chunk's host copies and run the per-read host
+    tracebacks.  Returns a list of n_valid (state_path, struct)."""
+    from .scanner import state_masks
+    import os
+    import sys
+    import time
+    tabs_b, d_small, c_b, Ys_b, Ye_b, t0 = handle
+    g = J.kernels(cfg).g
+    m = state_masks(cfg)
+    t1 = time.time()
     tabs_np = [np.asarray(t) for t in tabs_b]
-    d_np = jax.tree.map(np.asarray, d_b)
+    d_np = jax.tree.map(np.asarray, d_small)
     c_np = jax.tree.map(np.asarray, c_b)
+    t2 = time.time()
     out = []
     for t in range(n_valid):
         row = lambda x: x[t]
         tabs_t = tuple(tab[t] for tab in tabs_np)
         d_t = jax.tree.map(row, d_np)
         c_t = jax.tree.map(row, c_np)
+        aux = _pin_aux_np(cfg, g, m, int(Ys_b[t]), int(Ye_b[t]),
+                          int(c_np.L[t]))
+        d_t = d_t._replace(**aux)
         out.append(traceback(cfg, tabs_t, d_t, c_t))
+    if os.environ.get("RNAELEM_SCAN_PROF"):
+        print(f"cyk chunk n={n_valid}: dispatch->finish {t1-t0:.2f}s "
+              f"fetch-wait {t2-t1:.2f}s traceback {time.time()-t2:.2f}s",
+              file=sys.stderr, flush=True)
     return out
+
+
+def viterbi_alignment_batch(cfg: J.ModelConfig, params: J.Params,
+                            sd_b, Ys_b, Ye_b, n_valid: int):
+    """Batched Viterbi: device DP over the whole chunk, one host fetch,
+    per-read host tracebacks (see cyk_batch_start/finish)."""
+    return cyk_batch_finish(
+        cfg, cyk_batch_start(cfg, params, sd_b, Ys_b, Ye_b), n_valid)

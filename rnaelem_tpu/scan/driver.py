@@ -87,6 +87,27 @@ class Scanner:
             buckets.setdefault(_bucket_of(len(r.seq)), []).append(idx)
 
         results = [None] * len(reads)
+        pending = None  # one-chunk pipeline: fetch overlaps next compute
+
+        def flush(p):
+            (cfgp, paramsp, chunkp, sdsp, Pys_b, Pye_b, Pyi_b,
+             Ys_b, Ye_b, handle) = p
+            vit = None
+            if handle is not None:
+                vit = CYK.cyk_batch_finish(cfgp, handle, len(chunkp))
+            for t, i in enumerate(chunkp):
+                L = len(reads[i].seq)
+                Ys, Ye = int(Ys_b[t]), int(Ye_b[t])
+                if cfgp.no_rss:
+                    psihat = _chain_viterbi(
+                        cfgp, paramsp, sdsp[t], Ys, Ye, L)
+                    rss = "O" * L
+                else:
+                    psihat, rss = vit[t]
+                    psihat = psihat[:L]
+                results[i] = (Pys_b[t][:L], Pye_b[t][:L + 1],
+                              Pyi_b[t][:L], Ys, Ye, psihat, rss)
+
         for Lp in sorted(buckets):
             cfg, params = scan_config(self.cfg0, self.params0, Lp)
             g = J.kernels(cfg).g
@@ -117,24 +138,20 @@ class Scanner:
                 Pyi_b = np.asarray(res["Pyi"])
                 Ys_b = np.asarray(res["Ys"])
                 Ye_b = np.asarray(res["Ye"])
-                vit = None
+                handle = None
                 if not cfg.no_rss:
-                    # batched CYK: one device program + one table fetch
-                    # per chunk; host tracebacks over numpy views
-                    vit = CYK.viterbi_alignment_batch(
-                        cfg, params, sd_b, Ys_b, Ye_b, len(chunk))
-                for t, i in enumerate(chunk):
-                    L = len(reads[i].seq)
-                    Ys, Ye = int(Ys_b[t]), int(Ye_b[t])
-                    if cfg.no_rss:
-                        psihat = _chain_viterbi(
-                            cfg, params, sds[t], Ys, Ye, L)
-                        rss = "O" * L
-                    else:
-                        psihat, rss = vit[t]
-                        psihat = psihat[:L]
-                    results[i] = (Pys_b[t][:L], Pye_b[t][:L + 1],
-                                  Pyi_b[t][:L], Ys, Ye, psihat, rss)
+                    # batched CYK: dispatch device work + async host
+                    # copies now; the traceback of the PREVIOUS chunk
+                    # runs while this chunk computes/transfers
+                    handle = CYK.cyk_batch_start(
+                        cfg, params, sd_b, Ys_b, Ye_b)
+                info = (cfg, params, chunk, sds, Pys_b, Pye_b, Pyi_b,
+                        Ys_b, Ye_b, handle)
+                if pending is not None:
+                    flush(pending)
+                pending = info
+        if pending is not None:
+            flush(pending)
 
         M = g0.M
         for r, resu in zip(reads, results):
