@@ -267,9 +267,9 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64,
         if dims.fix_rss:
             dcum = c.dots_cum
             i3 = j - warr[:, None, None]
-            ld = (dcum[jnp.clip(i3 + _dk3, 0, None)]
-                  - dcum[jnp.clip(i3, 0, None)]) == _dk3
-            rd = (dcum[j] - dcum[jnp.clip(j - dlarr, 0, None)]) == dlarr
+            ld = (dcum[jnp.clip(i3 + _dk3, 0, Lp)]
+                  - dcum[jnp.clip(i3, 0, Lp)]) == _dk3
+            rd = (dcum[j] - dcum[jnp.clip(j - dlarr, 0, Lp)]) == dlarr
             valid = valid & ld & rd[None, None, :]
         # mBv[g][w, dk, dl] = mB[g][dl, w - dk - dl] via ONE static
         # flat-index gather per mismatch group (indices precomputed)
