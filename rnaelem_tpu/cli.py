@@ -58,7 +58,10 @@ def build_parser():
     p.add_argument("--param-set", default="")
     p.add_argument("-a", "--array", type=int, default=1)
     p.add_argument("--tmp", default="~NULL~")
-    p.add_argument("--sge-option-file", default="~DEFAULT~")
+    p.add_argument("--sge-option-file", default="~DEFAULT~",
+                   help="cluster submit template for --array "
+                        "(arrayjob_manager.hpp:32-108 format); "
+                        "~DEFAULT~ runs slaves as local subprocesses")
     p.add_argument("--font", default="~DEFAULT~")
     p.add_argument("--no-rss", action="store_true")
     p.add_argument("--no-profile", dest="no_prf", action="store_true")
@@ -186,15 +189,23 @@ def do_train(args, also_scan: bool):
         if (args.out3 != "~COUT~" and is_writer) else None
     array_eval = None
     if args.array > 1:
-        # TR_ARRAY: file-based distributed gradient via N subprocess
-        # slaves (the reference's SGE protocol; parallel/arrayjob.py).
-        # Full-batch semantics, mutually exclusive with --mesh.
-        from .parallel.arrayjob import ArrayEvaluator
+        # TR_ARRAY: file-based distributed gradient via N slaves (the
+        # reference's SGE protocol; parallel/arrayjob.py).  Full-batch
+        # semantics, mutually exclusive with --mesh.  With a real
+        # --sge-option-file the slaves go through the cluster submit
+        # template (arrayjob_manager.hpp:121-141); ~DEFAULT~ runs them
+        # as local subprocesses (no scheduler is assumed on this host).
+        from .parallel import arrayjob as AJ
         mesh = None
         tmp = args.tmp if args.tmp not in (
             "~NULL~", "~COUT~", "~CERR~") else f"tmp{os.getpid()}"
-        array_eval = ArrayEvaluator(cfg, args.array, tmp,
-                                    args.seq_fname, args.lik_ratio)
+        submit = AJ.submit_local
+        if args.sge_option_file != "~DEFAULT~":
+            submit = AJ.GridEngineOptions.load(
+                args.sge_option_file).submitter(show=True)
+        array_eval = AJ.ArrayEvaluator(
+            cfg, args.array, tmp, args.seq_fname, args.lik_ratio,
+            submit=submit, sge_option_file=args.sge_option_file)
     tr = Trainer(cfg, params, max_iter=args.max_iter, eps=args.epsilon,
                  lambda_init=args.lambda_init, kmer_shuf=args.kmer_shuf,
                  batch_size=args.batch_size, no_shuffle=args.no_shuffle,
@@ -237,8 +248,18 @@ def do_eval(args):
         args.model_fname, Lp=Lp, dtype=args.dtype or _default_dtype())
     arrayeval = args.mode == "array-eval"
     if arrayeval:
-        tid = int(os.environ.get("SLURM_ARRAY_TASK_ID",
-                                 os.environ.get("SGE_TASK_ID", "1")))
+        tid_env = None
+        if args.sge_option_file != "~DEFAULT~":
+            # rank comes from the env var the submit template names
+            # (arrayjob_manager.hpp:110-119)
+            from .parallel.arrayjob import GridEngineOptions
+            tid_env = GridEngineOptions.load(
+                args.sge_option_file).task_id_env
+        tid = int(
+            os.environ[tid_env] if tid_env and tid_env in os.environ
+            else os.environ.get(
+                "SLURM_ARRAY_TASK_ID",
+                os.environ.get("SGE_TASK_ID", "1")))
         fn, gr, eff = eval_file(cfg, params, args.seq_fname,
                                 args.lik_ratio,
                                 shard=(tid - 1, args.array))
@@ -295,6 +316,17 @@ def _setup_jax_cache():
 def main(argv=None):
     _setup_jax_cache()
     args = build_parser().parse_args(argv)
+    # loudly ignored reference flags (vs --pict, which the reference
+    # itself parses and never consumes — that one stays silent parity)
+    if args.font != "~DEFAULT~":
+        print("warning: --font is ignored; figures are SVG "
+              "(pipeline/draw_motif.py), no FreeType font is needed",
+              file=sys.stderr)
+    if args.thread != 1:
+        print("warning: --thread is ignored; sequences are batched "
+              "through one device kernel — use --mesh for multi-chip "
+              "data parallelism or elem --jobs for task parallelism",
+              file=sys.stderr)
     if os.environ.get("JAX_PLATFORMS"):
         # the axon TPU plugin can ignore the env var; force it through
         # the config API (same workaround as tests/conftest.py)

@@ -18,6 +18,7 @@ set, which is also how the 2-slave test exercises the protocol.
 from __future__ import annotations
 
 import os
+import shlex
 import subprocess
 import sys
 from typing import Callable, List, Optional
@@ -26,6 +27,96 @@ import numpy as np
 
 F_INDEX, F_FN, F_GR, F_EFF = 1, 2, 4, 8
 F_ALL = F_INDEX | F_FN | F_GR | F_EFF
+
+# the reference's built-in template (RNAelem/grid_engine_opt:1-23),
+# reproduced as data: key -> Grid Engine qsub fragment
+DEFAULT_GRID_OPTIONS = {
+    "command": "qsub",
+    "task id": "SGE_TASK_ID",
+    "array": "-t $from-$to",
+    "binary": "-b y",
+    "sync": "-sync y",
+    "cwd": "-cwd",
+    "environment": "-V",
+    "other": "-e $HOME/.ugeerr -o $HOME/.ugeout -l s_vmem=1G,mem_req=1G",
+}
+
+
+class GridEngineOptions:
+    """The reference's cluster submit-template
+    (arrayjob_manager.hpp:32-141): eight `key: value` lines describing
+    how to submit an N-task array job to a scheduler.  `submit(job, n)`
+    builds `command array binary sync cwd environment other "job"` with
+    $from/$to substituted and runs it through the shell; `task_id_env`
+    names the env var each task reads its 1-based rank from."""
+
+    KEYS = ("command", "task id", "array", "binary", "sync", "cwd",
+            "environment", "other")
+
+    def __init__(self, opts: dict):
+        missing = [k for k in self.KEYS if k not in opts]
+        if missing:
+            raise ValueError(
+                "grid_engine_opt broken: missing keys %s" % missing)
+        self.opts = {k: opts[k] for k in self.KEYS}
+
+    @classmethod
+    def parse(cls, text: str) -> "GridEngineOptions":
+        opts = {}
+        for line in text.splitlines():
+            vs = line.strip().split(":")
+            if len(vs) != 2:
+                continue
+            key, val = vs[0].strip(), vs[1].strip()
+            if key in cls.KEYS:
+                opts[key] = val
+            else:
+                print("not used:", key, file=sys.stderr)
+        return cls(opts)
+
+    @classmethod
+    def load(cls, fname: str) -> "GridEngineOptions":
+        if fname == "~DEFAULT~":
+            return cls(dict(DEFAULT_GRID_OPTIONS))
+        with open(fname) as f:
+            return cls.parse(f.read())
+
+    @property
+    def task_id_env(self) -> str:
+        return self.opts["task id"]
+
+    def submit_cmd(self, job: str, n: int) -> str:
+        array = (self.opts["array"]
+                 .replace("$from", "1").replace("$to", str(n)))
+        parts = [self.opts["command"], array, self.opts["binary"],
+                 self.opts["sync"], self.opts["cwd"],
+                 self.opts["environment"], self.opts["other"],
+                 '"' + job + '"']
+        return " ".join(p for p in parts if p)
+
+    def submit_job(self, job: str, n: int, show: bool = False) -> None:
+        total = self.submit_cmd(job, n)
+        if show:
+            print("submit:", total, file=sys.stderr)
+        res = subprocess.run(total, shell=True, capture_output=True,
+                             text=True)
+        if show and (res.stdout or res.stderr):
+            print((res.stdout + res.stderr).strip("\n"), file=sys.stderr)
+        if res.returncode != 0:
+            raise RuntimeError(
+                "array-job submission failed (%d): %s\n%s" % (
+                    res.returncode, total,
+                    (res.stdout + res.stderr)[-2000:]))
+
+    def submitter(self, show: bool = False) -> Callable:
+        """An ArrayEvaluator-compatible `submit` callable: joins the
+        slave argv into one shell job string and submits it as an
+        n-task array job through the scheduler."""
+        def submit(slave_argv: List[str], n: int,
+                   env: Optional[dict] = None) -> None:
+            job = " ".join(shlex.quote(a) for a in slave_argv)
+            self.submit_job(job, n, show=show)
+        return submit
 
 
 def collect_fn_gr_eff(tmp_prefix: str, n: int):
@@ -95,7 +186,8 @@ class ArrayEvaluator:
     def __init__(self, cfg, n: int, tmp: str, fq: str,
                  lik_ratio: bool = False,
                  submit: Callable = submit_local,
-                 python: Optional[str] = None):
+                 python: Optional[str] = None,
+                 sge_option_file: str = "~DEFAULT~"):
         self.cfg = cfg
         self.n = n
         self.tmp = tmp
@@ -103,12 +195,16 @@ class ArrayEvaluator:
         self.lik_ratio = lik_ratio
         self.submit = submit
         self.python = python or sys.executable
+        self.sge_option_file = sge_option_file
 
     def slave_argv(self) -> List[str]:
         argv = [self.python, "-m", "rnaelem_tpu.cli", "array-eval",
                 "--fastq", self.fq, "--motif-model", self.tmp,
                 "--array", str(self.n), "--tmp", self.tmp,
                 "--dtype", str(self.cfg.dtype)]
+        if self.sge_option_file != "~DEFAULT~":
+            # the slave reads its rank from the template's task-id env
+            argv += ["--sge-option-file", self.sge_option_file]
         if self.lik_ratio:
             argv.append("--lik-ratio")
         return argv

@@ -204,8 +204,60 @@ def _folds(elem_out):
                   for d in Path(elem_out).glob("cv-*") if d.is_dir())
 
 
+def _train_task_cmds(elem_out, pi, k, motif, max_span, max_iter,
+                     batch_size, no_shuffle):
+    """CLI command steps of one pattern x fold training task: train on
+    the fold's train.fq, then scan the held-out positives/negatives
+    (script/elem:326-364).  Returns [(argv, log_path), ...]."""
+    tdir = f"{elem_out}/cv-{k}/train/pattern-{pi}"
+    sdir = f"{elem_out}/cv-{k}/test/pattern-{pi}"
+    os.makedirs(tdir, exist_ok=True)
+    os.makedirs(sdir, exist_ok=True)
+    ns = ["--no-shuffle"] if no_shuffle else []
+    cmds = [(["--fastq", f"{elem_out}/cv-{k}/train/train.fq",
+              "--max-span", max_span, "--motif-pattern", motif,
+              "--max-iter", max_iter, "--batch-size", batch_size,
+              *ns,
+              "--out1", f"{tdir}/train.model",
+              "--out2", f"{tdir}/train.raw",
+              "--out3", f"{tdir}/train.interim"], f"{tdir}/log")]
+    for name in ("positive", "negative"):
+        fq = f"{elem_out}/cv-{k}/test/{name}.fq"
+        if os.path.exists(fq):
+            cmds.append((["scan", "--fastq", fq,
+                          "--motif-model", f"{tdir}/train.model",
+                          "--out1", f"{sdir}/{name}.raw"],
+                         f"{sdir}/log"))
+    return cmds
+
+
+def _submit_task_array(elem_out, task_cmds, sge_option_file):
+    """Cluster fan-out of pattern x fold tasks (script/elem:326-364):
+    write one dispatch script that switches on the scheduler's task-id
+    env var and submit it as an N-task array job through the
+    grid_engine_opt template (parallel/arrayjob.py)."""
+    import shlex
+    from ..parallel.arrayjob import GridEngineOptions
+    ge = GridEngineOptions.load(sge_option_file)
+    script = f"{elem_out}/array_job.sh"
+    with open(script, "w") as f:
+        f.write("#!/bin/sh\n# generated by elem train --array\n")
+        f.write(f'tid="${{{ge.task_id_env}}}"\ncase "$tid" in\n')
+        for tid, cmds in enumerate(task_cmds, 1):
+            lines = "\n    ".join(
+                " ".join(shlex.quote(str(a)) for a in
+                         [sys.executable, "-m", "rnaelem_tpu.cli"]
+                         + list(argv))
+                + f" 2>> {shlex.quote(log)}"
+                for argv, log in cmds)
+            f.write(f"  {tid})\n    {lines}\n    ;;\n")
+        f.write('  *) echo "bad task id: $tid" >&2; exit 1 ;;\nesac\n')
+    ge.submit_job(f"sh {script}", len(task_cmds), show=True)
+
+
 def run_train(elem_out, max_span, max_iter, batch_size, thread, jobs,
-              pattern_index, no_shuffle, **_):
+              pattern_index, no_shuffle, sge_option_file=None,
+              in_process=False, array=False, **_):
     folds = _folds(elem_out)
     pats = _patterns(elem_out)
     indices = [pattern_index] if pattern_index else \
@@ -215,32 +267,59 @@ def run_train(elem_out, max_span, max_iter, batch_size, thread, jobs,
         motif = pats[pi - 1]
         for k in folds:
             tasks.append((pi, k, motif))
+    # compile sharing: order tasks so patterns with the same compiled-
+    # kernel signature (motif state count S, Lp bucket is shared) run
+    # back to back — each signature compiles once into the persistent
+    # XLA cache and every later task of that signature hits it
+    tasks.sort(key=lambda t: (_pattern_signature(t[2]), t[1]))
+    cmds_of = lambda t: _train_task_cmds(
+        elem_out, t[0], t[1], t[2], max_span, max_iter, batch_size,
+        no_shuffle)
+
+    if array and sge_option_file:
+        _submit_task_array(elem_out, [cmds_of(t) for t in tasks],
+                           sge_option_file)
+        return
+    if array and not sge_option_file:
+        cry("info: --array without --sge-option-file runs the local "
+            "--jobs pool")
 
     def one(task):
-        pi, k, motif = task
-        tdir = f"{elem_out}/cv-{k}/train/pattern-{pi}"
-        sdir = f"{elem_out}/cv-{k}/test/pattern-{pi}"
-        os.makedirs(tdir, exist_ok=True)
-        os.makedirs(sdir, exist_ok=True)
-        cry("k_fold:", k)
-        cry("pattern:", pi)
-        ns = ["--no-shuffle"] if no_shuffle else []
-        _run_cli(["--fastq", f"{elem_out}/cv-{k}/train/train.fq",
-                  "--max-span", max_span, "--motif-pattern", motif,
-                  "--max-iter", max_iter, "--batch-size", batch_size,
-                  *ns,
-                  "--out1", f"{tdir}/train.model",
-                  "--out2", f"{tdir}/train.raw",
-                  "--out3", f"{tdir}/train.interim"], f"{tdir}/log")
-        for name in ("positive", "negative"):
-            fq = f"{elem_out}/cv-{k}/test/{name}.fq"
-            if os.path.exists(fq):
-                _run_cli(["scan", "--fastq", fq,
-                          "--motif-model", f"{tdir}/train.model",
-                          "--out1", f"{sdir}/{name}.raw"],
-                         f"{sdir}/log")
+        cry("k_fold:", task[1])
+        cry("pattern:", task[0])
+        for argv, log in cmds_of(task):
+            if in_process:
+                _run_inproc(argv, log)
+            else:
+                _run_cli(argv, log)
 
-    _pool(tasks, one, jobs)
+    # in-process tasks share one JAX client; the global stderr redirect
+    # (and the device itself) serialize them, so the pool is bypassed
+    _pool(tasks, one, 1 if in_process else jobs)
+
+
+def _pattern_signature(pattern: str):
+    """Patterns compile to the same DP kernels iff they have the same
+    state count; group by (#pair nodes, #loop nodes, no-rss) which
+    determines S for the profile grammar (grammar/profile.py)."""
+    p = pattern.replace("*", "")
+    return (p.count("("), sum(c in "._" for c in p), "_" in p)
+
+
+def _run_inproc(args, log_path):
+    """Run one CLI command inside THIS process (shared JAX client and
+    compiled-kernel cache) instead of a fresh subprocess — the task
+    runner for a single shared accelerator, where per-task process
+    churn both re-initializes the device and re-compiles every kernel
+    (BASELINE.md 'Multi-pattern pipeline on the chip')."""
+    from .. import cli as CLI
+    old_err = sys.stderr
+    with open(log_path, "a") as log:
+        sys.stderr = log
+        try:
+            CLI.main([str(a) for a in args])
+        finally:
+            sys.stderr = old_err
 
 
 def _pool(tasks, fn, jobs):
@@ -312,23 +391,25 @@ def run_select(elem_out, num_motifs, **_):
 
 
 def run_refine(elem_out, max_iter, batch_size, plot_base_threshold,
-               jobs, thread, pattern_index, no_shuffle, **_):
+               jobs, thread, pattern_index, no_shuffle,
+               in_process=False, **_):
     models = [m.strip() for m in open(f"{elem_out}/select.txt")]
     if pattern_index:
         models = [models[pattern_index - 1]]
     tasks = list(enumerate(models, 1))
+    run1 = _run_inproc if in_process else _run_cli
 
     def one(task):
         tid, model = task
         mdir = f"{elem_out}/model-{tid}"
         os.makedirs(mdir, exist_ok=True)
         ns = ["--no-shuffle"] if no_shuffle else []
-        _run_cli(["--fastq", f"{elem_out}/train.fq",
-                  "--motif-model", model, "--max-iter", max_iter,
-                  "--batch-size", batch_size, *ns,
-                  "--out1", f"{mdir}/train.model",
-                  "--out2", f"{mdir}/train.raw",
-                  "--out3", f"{mdir}/train.interim"], f"{mdir}/log")
+        run1(["--fastq", f"{elem_out}/train.fq",
+              "--motif-model", model, "--max-iter", max_iter,
+              "--batch-size", batch_size, *ns,
+              "--out1", f"{mdir}/train.model",
+              "--out2", f"{mdir}/train.raw",
+              "--out3", f"{mdir}/train.interim"], f"{mdir}/log")
         try:
             from .draw_motif import draw
             draw(mdir, f"{mdir}/rss.svg", f"{mdir}/prf.svg",
@@ -338,12 +419,14 @@ def run_refine(elem_out, max_iter, batch_size, plot_base_threshold,
         except Exception as e:
             cry("draw_motif failed:", e)
 
-    _pool(tasks, one, jobs)
+    _pool(tasks, one, 1 if in_process else jobs)
 
 
-def run_scan(model, elem_out, sequence, outdir, jobs, thread, **_):
+def run_scan(model, elem_out, sequence, outdir, jobs, thread,
+             in_process=False, **_):
     from . import kmer_psp
     os.makedirs(outdir, exist_ok=True)
+    run1 = _run_inproc if in_process else _run_cli
     with open(f"{outdir}/scan.fq", "w") as f, \
             open(f"{outdir}/log", "a") as lg:
         _stderr_to(lg, kmer_psp.run, sequence, None, f)
@@ -355,16 +438,16 @@ def run_scan(model, elem_out, sequence, outdir, jobs, thread, **_):
         def one(task):
             i, mdl = task
             os.makedirs(f"{outdir}/model-{i}", exist_ok=True)
-            _run_cli(["scan", "--fastq", f"{outdir}/scan.fq",
-                      "--motif-model", mdl,
-                      "--out1", f"{outdir}/model-{i}/scan.raw"],
-                     f"{outdir}/model-{i}/log")
+            run1(["scan", "--fastq", f"{outdir}/scan.fq",
+                  "--motif-model", mdl,
+                  "--out1", f"{outdir}/model-{i}/scan.raw"],
+                 f"{outdir}/model-{i}/log")
 
-        _pool(tasks, one, jobs)
+        _pool(tasks, one, 1 if in_process else jobs)
     else:
-        _run_cli(["scan", "--fastq", f"{outdir}/scan.fq",
-                  "--motif-model", model,
-                  "--out1", f"{outdir}/scan.raw"], f"{outdir}/log")
+        run1(["scan", "--fastq", f"{outdir}/scan.fq",
+              "--motif-model", model,
+              "--out1", f"{outdir}/scan.raw"], f"{outdir}/log")
 
 
 def build_parser():
@@ -381,7 +464,17 @@ def build_parser():
         q.add_argument("-j", "--jobs", type=int, default=1,
                        help="local task parallelism (replaces --array)")
         q.add_argument("-a", "--array", action="store_true",
-                       help="accepted for compatibility; uses --jobs")
+                       help="submit pattern x fold tasks as a cluster "
+                            "array job (requires --sge-option-file); "
+                            "without a template, uses --jobs locally")
+        q.add_argument("--sge-option-file", default=None,
+                       help="cluster submit template "
+                            "(arrayjob_manager.hpp format)")
+        q.add_argument("--in-process", dest="in_process",
+                       action="store_true",
+                       help="run tasks inside this process, sharing "
+                            "one JAX client and compiled-kernel cache "
+                            "(for a single shared accelerator)")
         q.add_argument("-b", "--batch-size", type=int, default=64)
         q.add_argument("--no-shuffle", action="store_true")
 
@@ -419,6 +512,11 @@ def build_parser():
     q.add_argument("-j", "--jobs", type=int, default=1)
     q.add_argument("-a", "--array", action="store_true")
     q.add_argument("-F", "--force-overwrite", action="store_true")
+
+    q = sub.add_parser(
+        "roc", help="per-position motif-inference ROC rows from "
+                    "scan.raw (_run-rnaelem-h3.py)")
+    q.add_argument("raw", nargs="+")
 
     q = sub.add_parser("pipeline")
     q.add_argument("-p", "--positive", required=True)
@@ -465,6 +563,12 @@ def main(argv=None):
         run_refine(**opts)
     elif sub == "scan":
         run_scan(**opts)
+    elif sub == "roc":
+        from .positional_roc import run as roc_run
+        try:
+            roc_run(opts["raw"])
+        except BrokenPipeError:
+            pass
     else:
         build_parser().print_help()
         raise SystemExit(1)

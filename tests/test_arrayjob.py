@@ -69,6 +69,118 @@ def test_duplicate_and_missing_field_checks(tmp_path):
         collect_fn_gr_eff(str(tmp_path / "t"), 2)
 
 
+def _fake_scheduler(tmp_path):
+    """A stand-in cluster scheduler: parses `-t 1-N`, logs the full
+    submit line, and runs the quoted job N times with FAKE_TASK_ID set
+    (sequentially — `-sync y` semantics)."""
+    sched = tmp_path / "fake_qsub.py"
+    sched.write_text("""\
+import os, subprocess, sys
+args = sys.argv[1:]
+log = os.environ["FAKE_SCHED_LOG"]
+open(log, "a").write(" ".join(args) + "\\n")
+n = int(args[args.index("-t") + 1].split("-")[1])
+job = args[-1]
+for tid in range(1, n + 1):
+    env = dict(os.environ, FAKE_TASK_ID=str(tid))
+    r = subprocess.run(job, shell=True, env=env)
+    if r.returncode:
+        sys.exit(r.returncode)
+""")
+    tmpl = tmp_path / "grid_opt"
+    tmpl.write_text(f"""\
+command
+command: {sys.executable} {sched}
+task id: FAKE_TASK_ID
+array: -t $from-$to
+binary:
+sync:
+cwd:
+environment:
+other:
+""")
+    return str(tmpl)
+
+
+def test_grid_engine_options_parse_and_cmd():
+    """Template parsing + submit-line assembly must follow
+    arrayjob_manager.hpp:32-141 ($from/$to substitution, all-8-keys
+    check, non-key lines skipped)."""
+    from rnaelem_tpu.parallel.arrayjob import GridEngineOptions
+    ge = GridEngineOptions.load("~DEFAULT~")
+    assert ge.task_id_env == "SGE_TASK_ID"
+    cmd = ge.submit_cmd("RNAelem train", 7)
+    assert cmd.startswith("qsub -t 1-7 -b y -sync y -cwd -V ")
+    assert cmd.endswith('"RNAelem train"')
+    with pytest.raises(ValueError, match="grid_engine_opt broken"):
+        GridEngineOptions.parse("command: qsub\narray: -t $from-$to\n")
+
+
+def test_template_submission_e2e(tmp_path, monkeypatch):
+    """`--sge-option-file` drives a real submission through the fake
+    scheduler: slaves get their rank from the template's task-id env
+    var and the master sums their files (arrayjob_manager.hpp:121-141
+    + motif_array_trainer.hpp:20-58)."""
+    from rnaelem_tpu.parallel.arrayjob import (ArrayEvaluator,
+                                               GridEngineOptions)
+    from rnaelem_tpu.model import io as MIO
+    from rnaelem_tpu.train.objective import eval_file
+
+    tmpl = _fake_scheduler(tmp_path)
+    fq = os.path.join(FIX, "0.fq")
+    cfg, params = MIO.read_model(os.path.join(FIX, "0.model"),
+                                 Lp=48, dtype="float64")
+    log = tmp_path / "sched.log"
+    for k, v in _env().items():
+        monkeypatch.setenv(k, v)
+    monkeypatch.setenv("FAKE_SCHED_LOG", str(log))
+    tmp = str(tmp_path / "tmp")
+    ge = GridEngineOptions.load(tmpl)
+    ev = ArrayEvaluator(cfg, 2, tmp, fq, submit=ge.submitter(),
+                        sge_option_file=tmpl)
+    fn, gr, eff = ev(params)
+    # the scheduler was actually used, once, with -t 1-2
+    sub_lines = log.read_text().strip().splitlines()
+    assert len(sub_lines) == 1 and "-t 1-2" in sub_lines[0]
+    cfg_rt, params_rt = MIO.read_model(tmp, Lp=48, dtype="float64")
+    fn_ref, gr_ref, eff_ref = eval_file(cfg_rt, params_rt, fq)
+    assert fn == pytest.approx(fn_ref, rel=1e-9, abs=1e-9)
+    np.testing.assert_allclose(gr, gr_ref, rtol=1e-8, atol=1e-9)
+
+
+def test_elem_array_submission(tmp_path, monkeypatch):
+    """`elem train --array --sge-option-file` must write a dispatch
+    script switching on the template's task-id env and submit it as one
+    N-task array job (script/elem:326-364)."""
+    from rnaelem_tpu.pipeline import elem as E
+
+    tmpl = _fake_scheduler(tmp_path)
+    # replace the scheduler with a pure recorder (no execution)
+    rec = tmp_path / "rec.py"
+    rec.write_text("import os,sys\n"
+                   "open(os.environ['FAKE_SCHED_LOG'],'a')"
+                   ".write(' '.join(sys.argv[1:])+'\\n')\n")
+    tmpl2 = tmp_path / "grid_opt2"
+    tmpl2.write_text(open(tmpl).read().replace(
+        "fake_qsub.py", "rec.py"))
+    out = tmp_path / "elem_out"
+    (out / "cv-0" / "train").mkdir(parents=True)
+    (out / "cv-1" / "train").mkdir(parents=True)
+    (out / "pattern_list").write_text("(...)\n(.....)\n")
+    for k in (0, 1):
+        (out / f"cv-{k}" / "train" / "train.fq").write_text("")
+    log = tmp_path / "sched2.log"
+    monkeypatch.setenv("FAKE_SCHED_LOG", str(log))
+    E.run_train(str(out), 50, 10, 64, 1, 1, None, False,
+                sge_option_file=str(tmpl2), array=True)
+    line = log.read_text().strip()
+    assert "-t 1-4" in line                      # 2 patterns x 2 folds
+    script = (out / "array_job.sh").read_text()
+    assert 'tid="${FAKE_TASK_ID}"' in script
+    assert script.count("rnaelem_tpu.cli") >= 4
+    assert "--motif-pattern '(.....)'" in script
+
+
 @pytest.mark.slow
 def test_array_train_e2e(tmp_path):
     """`rnaelem train --array 2` end-to-end: 3 L-BFGS-B iterations with
