@@ -119,10 +119,14 @@ def make_seqdata(cfg: ModelConfig, seq_codes, quals=None, rss: str = "",
                 jj, w = p + 1, p + 1 - i
                 if w <= Wp:
                     rss_pair[jj, w] = True
+    # HOST arrays: a batch is np.stack'd and shipped as ONE transfer
+    # per field (stack_reads) — per-read jnp.asarray calls cost 6
+    # device dispatches per read, which through a tunneled TPU was
+    # ~0.6 s per 128-read production step (BASELINE.md round 5)
     return SeqData(
-        seq=jnp.asarray(seq), ws=jnp.asarray(ws),
-        L=jnp.asarray(L, jnp.int32), has_motif=jnp.asarray(has_motif),
-        rss_pair=jnp.asarray(rss_pair), dots=jnp.asarray(dots))
+        seq=seq, ws=ws,
+        L=np.int32(L), has_motif=np.bool_(has_motif),
+        rss_pair=rss_pair, dots=dots)
 
 
 def init_params(g: Grammar, cfg: ModelConfig, dtype) -> Params:

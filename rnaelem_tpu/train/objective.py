@@ -114,7 +114,10 @@ def stack_reads(cfg: J.ModelConfig, reads, negatives=None,
         sign.append(1.0)
         neg.append(True)
         keys.append(None)
-    sd = jax.tree.map(lambda *xs: jnp.stack(xs), *sds)
+    # one host-side np.stack + one device transfer PER FIELD (SeqData
+    # rows are host arrays); a device-side 128-operand jnp.stack cost
+    # ~0.6 s/step plus a per-shape compile through the tunnel
+    sd = jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)), *sds)
     if bp_fn is None:
         bp_fn = batch_bp_masks
 
@@ -127,7 +130,7 @@ def stack_reads(cfg: J.ModelConfig, reads, negatives=None,
         bp_np = np.zeros((len(sds), Lp + 1, Wp + 1), bool)
         eff_np = np.zeros(len(sds))
         if miss:
-            sub = jax.tree.map(lambda *xs: jnp.stack(xs),
+            sub = jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)),
                                *[sds[i] for i in miss])
             mb, me = bp_fn(cfg, sub)
             mb, me = np.asarray(mb), np.asarray(me)

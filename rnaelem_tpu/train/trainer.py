@@ -63,6 +63,9 @@ class Trainer:
         self.qr = FastqBatchReader()
         self._eval_cnt = 0
         self._eff_logged = False
+        # one-deep batch prefetch pipeline (see _take_batch)
+        self._prefetch = None
+        self._pf_pool = None
 
     def _bucket_cfg(self, reads, negs):
         """Length-bucketed config for this minibatch: pad to the next
@@ -132,19 +135,15 @@ class Trainer:
         self._eval_cnt += 1
         return fn, np.asarray(gr)
 
-    def _objective(self, x, iter_cnt):
-        """One fn/gr evaluation over the next minibatch
-        (motif_trainer.hpp:595-633)."""
-        if self.array_eval is not None:
-            return self._objective_array(x, iter_cnt)
+    def _build_batch(self, iter_cnt):
+        """Advance the reader one minibatch and build its BatchData
+        (reads + iter-keyed negatives + BPP masks).  Parameter-free, so
+        it can run in the prefetch worker while the device computes the
+        previous step's fn/grad."""
         qr = self.qr
         if qr.N() - qr.orig().cnt() < qr.N_batch():
             qr.skip(qr.N() - qr.orig().cnt())
-        self.params = J.unpack_params(self.g, x, self.params)
-        if qr.is_end_epoc() and self.interim_out is not None:
-            self.interim_out.write(
-                MIO.interim_line(self.cfg, self.params) + "\n")
-            self.interim_out.flush()
+        epoch_end = qr.is_end_epoc()
         qr.clear()
         reads, negs = [], []
         while not qr.is_end():
@@ -164,6 +163,61 @@ class Trainer:
                                 negs if not self.no_shuffle else None,
                                 bp_cache=self._bp_cache,
                                 bp_fn=bp_fn)
+        return dict(iter_cnt=iter_cnt, epoch_end=epoch_end,
+                    reads=reads, cfg=cfg_b, step_fn=step_fn,
+                    batch=batch)
+
+    def _take_batch(self, iter_cnt):
+        """The batch for this evaluation: consume the prefetched one if
+        its iteration key matches, else build synchronously; then start
+        prefetching the next.  Negatives are keyed by iter_cnt and the
+        masks are parameter-independent, so a batch built one step
+        ahead is bit-identical to one built on demand."""
+        got = None
+        if self._prefetch is not None:
+            pf = self._prefetch
+            self._prefetch = None
+            try:
+                res = pf.result()
+            except Exception:
+                self._pf_pool = None      # worker died: fall back
+                raise
+            if res["iter_cnt"] == iter_cnt:
+                got = res
+            # non-sequential call pattern: the reader already advanced,
+            # so keep the reads but regenerate the iter-keyed negatives
+            elif not self.no_shuffle:
+                negs = [seq_to_ints(negative_for(
+                    ints_to_seq(s), self.kmer_shuf, iter_cnt))
+                    for s, _ in res["reads"]]
+                batch = OBJ.stack_reads(res["cfg"], res["reads"], negs,
+                                        bp_cache=self._bp_cache,
+                                        bp_fn=self._funcs_for(
+                                            res["cfg"])[1])
+                got = dict(res, iter_cnt=iter_cnt, batch=batch)
+            else:
+                got = res
+        if got is None:
+            got = self._build_batch(iter_cnt)
+        if self._pf_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pf_pool = ThreadPoolExecutor(max_workers=1)
+        self._prefetch = self._pf_pool.submit(
+            self._build_batch, iter_cnt + 1)
+        return got
+
+    def _objective(self, x, iter_cnt):
+        """One fn/gr evaluation over the next minibatch
+        (motif_trainer.hpp:595-633)."""
+        if self.array_eval is not None:
+            return self._objective_array(x, iter_cnt)
+        self.params = J.unpack_params(self.g, x, self.params)
+        got = self._take_batch(iter_cnt)
+        if got["epoch_end"] and self.interim_out is not None:
+            self.interim_out.write(
+                MIO.interim_line(self.cfg, self.params) + "\n")
+            self.interim_out.flush()
+        cfg_b, step_fn, batch = got["cfg"], got["step_fn"], got["batch"]
         if step_fn is not None:
             f_b, gr_b, eff_b = step_fn(self.params, batch)
         else:
@@ -172,7 +226,8 @@ class Trainer:
         fn, grads, eff = OBJ.reduce_per_read(f_b, gr_b, eff_b)
         gr = J.pack_params(self.g, grads)
         if not self._eff_logged:
-            log("considered BP:", float(eff) / max(1, len(reads)))
+            log("considered BP:",
+                float(eff) / max(1, len(got["reads"])))
             self._eff_logged = True
         self._eval_cnt += 1
         return fn, gr
@@ -200,6 +255,16 @@ class Trainer:
             best = opt.minimize(self._objective, x0, self.max_iter,
                                 callback=cb)
         self.params = J.unpack_params(self.g, best, self.params)
+        if self._pf_pool is not None:
+            # drain the dangling lookahead batch and stop the worker
+            if self._prefetch is not None:
+                try:
+                    self._prefetch.result()
+                except Exception:
+                    pass
+                self._prefetch = None
+            self._pf_pool.shutdown(wait=True)
+            self._pf_pool = None
         if self._eval_cnt:
             log("wall clock time per eval:",
                 (time.time() - t0) / self._eval_cnt)
