@@ -297,13 +297,16 @@ def _const_factors_single(cfg: ModelConfig, k: _Kernels, sd: SeqData,
     TL = jnp.asarray(np.where(g.lt, np.where(g.lt_tau, ltau, 0.0),
                               -np.inf), dtype)
     TPm = jnp.asarray(np.where(g.pt_tau, ltau, 0.0), dtype)
-    wsp = sd.ws.astype(dtype) if not null else jnp.zeros((Lp,), dtype)
+    # sd rows may be host numpy (make_seqdata); coerce so factors built
+    # eagerly still trace cleanly when closed over by a jitted kernel
+    wsp = jnp.asarray(sd.ws, dtype) if not null \
+        else jnp.zeros((Lp,), dtype)
     return DPM.ConstFactors(
         wsp=wsp, TR=TR, TL=TL, TPm=TPm,
         hp=hp.astype(dtype), stk=stk.astype(dtype), ext=ext.astype(dtype),
         ml2=ml2.astype(dtype), mlE=mlE.astype(dtype),
         okP=okP, okE=okE, okM=okM, okB=okB,
-        gate_O2=gate, gate_M=gate, seq=sd.seq, C=C, L=L,
+        gate_O2=gate, gate_M=gate, seq=jnp.asarray(sd.seq), C=C, L=L,
         dots_cum=dots_cum, ep=ep)
 
 

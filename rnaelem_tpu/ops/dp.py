@@ -50,6 +50,12 @@ import numpy as np
 # perf-bisect hook (trace-time static): RNAELEM_ABLATE=ep,b,m,o,p,spec
 _ABLATE = frozenset(
     x for x in os.environ.get("RNAELEM_ABLATE", "").split(",") if x)
+# inner M-chain unroll factor: the band-deep sequential scan issues
+# ~51 tiny [S, B] steps per column; unrolling lets XLA fuse runs of
+# them into one kernel (experiment knob — see BASELINE.md roofline)
+_M_UNROLL = int(os.environ.get("RNAELEM_M_UNROLL", "1"))
+# outer column-scan unroll (forward and backward)
+_COL_UNROLL = int(os.environ.get("RNAELEM_COL_UNROLL", "1"))
 if _ABLATE:
     import sys as _sys
     print("*** RNAELEM_ABLATE=%s: DP sub-terms are DISABLED — results "
@@ -464,7 +470,8 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64):
 
         xs = (eLrows, gMs, bvecs, okMj) if not dims.with_aux else \
             (eLrows, gMs, bvecs, okMj, auxLrows)
-        _, Mcol = jax.lax.scan(m_step, jnp.full((S, B), NEG, dtype_), xs)
+        _, Mcol = jax.lax.scan(m_step, jnp.full((S, B), NEG, dtype_), xs,
+                               unroll=_M_UNROLL)
         return Mcol
 
     def ep_col(rows, c, j, PF, LB, Lcol):
@@ -757,7 +764,8 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64):
             return col_update(tabs, j0, d, c, h), None
 
         tabs, _ = jax.lax.scan(body, init_tabs(B),
-                               jnp.arange(1, Lp + 1, KB))
+                               jnp.arange(1, Lp + 1, KB),
+                               unroll=_COL_UNROLL)
         return tabs
 
     def _extract_parts(Ofin, c):
@@ -905,7 +913,7 @@ def build_dp(g, dims: Dims, energy_tab, dtype=jnp.float64):
         (_, dlam_dir, dlam_ch, aux_acc), ys = jax.lax.scan(
             body, (zwin(), jnp.zeros_like(d.lam),
                    jnp.zeros((2, B), dtype), aux_zero),
-            jnp.arange(Lp, 0, -KB))
+            jnp.arange(Lp, 0, -KB), unroll=_COL_UNROLL)
 
         # --- assemble full cotangents from the stacked rows (j asc) ---
         # blocks descend; within a block columns ascend -> reverse the

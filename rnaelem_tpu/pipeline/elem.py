@@ -320,6 +320,23 @@ def _run_inproc(args, log_path):
             CLI.main([str(a) for a in args])
         finally:
             sys.stderr = old_err
+    # drop in-memory jit caches between tasks: 40 in-process tasks
+    # accumulated ~130 GB RSS (OOM) when every pattern's compiled
+    # programs stayed live; the persistent XLA cache makes later
+    # same-signature tasks cheap reloads instead of recompiles
+    import gc
+    try:
+        import jax
+        jax.clear_caches()
+    except Exception:
+        pass
+    gc.collect()
+    try:
+        with open("/proc/self/statm") as f:
+            rss_mb = int(f.read().split()[1]) * 4096 // (1 << 20)
+        cry("task rss_mb:", rss_mb)
+    except Exception:
+        pass
 
 
 def _pool(tasks, fn, jobs):

@@ -521,10 +521,10 @@ def _pin_aux_np(cfg, g, m, Ys, Ye, L):
     )
 
 
-def cyk_batch_start(cfg: J.ModelConfig, params: J.Params, sd_b,
+def cyk_tables_batch_start(cfg: J.ModelConfig, params: J.Params, sd_b,
                     Ys_b, Ye_b):
     """Dispatch the chunk's CYK tables on device and start async host
-    copies; returns an opaque handle for cyk_batch_finish.  Split so the
+    copies; returns an opaque handle for cyk_tables_batch_finish.  Split so the
     driver can overlap this chunk's fetch with the next chunk's device
     work (the tunnel transfer is the scan's single largest cost)."""
     from .scanner import state_masks
@@ -549,7 +549,7 @@ def cyk_batch_start(cfg: J.ModelConfig, params: J.Params, sd_b,
             np.asarray(Ys_b).copy(), np.asarray(Ye_b).copy(), t0)
 
 
-def cyk_batch_finish(cfg: J.ModelConfig, handle, n_valid: int):
+def cyk_tables_batch_finish(cfg: J.ModelConfig, handle, n_valid: int):
     """Block on the chunk's host copies and run the per-read host
     tracebacks.  Returns a list of n_valid (state_path, struct)."""
     from .scanner import state_masks
@@ -585,5 +585,133 @@ def viterbi_alignment_batch(cfg: J.ModelConfig, params: J.Params,
                             sd_b, Ys_b, Ye_b, n_valid: int):
     """Batched Viterbi: device DP over the whole chunk, one host fetch,
     per-read host tracebacks (see cyk_batch_start/finish)."""
-    return cyk_batch_finish(
-        cfg, cyk_batch_start(cfg, params, sd_b, Ys_b, Ye_b), n_valid)
+    return cyk_tables_batch_finish(
+        cfg, cyk_tables_batch_start(cfg, params, sd_b, Ys_b, Ye_b), n_valid)
+
+
+# ---------------------------------------------------------------------
+# Mark-based alignment: batch-minor max DP + cotangent path extraction
+# (ops/dp_maxb.py).  Only ~L ints + an [Lp+1, Wp+1] pair indicator per
+# read leave the device — the table-fetch + host argmax re-derivation
+# above becomes the rare-tie fallback.
+# ---------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=32)
+def _maxb_kernel(cfg: J.ModelConfig):
+    from ..ops import dp_maxb as DMB
+    k = J.kernels(cfg)
+    tables_fn, marks_fn = DMB.build_max_tables(
+        k.g, k.dims, k.tab, jnp.dtype(cfg.dtype))
+    return tables_fn, marks_fn
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _cyk_marks_batch_jit(cfg: J.ModelConfig, params: J.Params, sd_b,
+                         Ys_b, Ye_b):
+    from .scanner import state_masks
+    assert cfg.with_aux
+    k = J.kernels(cfg)
+    m = state_masks(cfg)
+    dtype = jnp.dtype(cfg.dtype)
+    bp_ok_b, _ = J._effective_bp_mask_batch_jit(cfg, sd_b)
+    aux_b = jax.vmap(
+        lambda ys, ye, L: _pin_aux(cfg, k.g, m, ys, ye, L, dtype)
+    )(Ys_b, Ye_b, sd_b.L)
+    d_b, c_b = J.batch_factors(cfg, params, sd_b, bp_ok_b, aux_b)
+    return _maxb_kernel(cfg)[1](d_b, c_b)
+
+
+def rss_from_pairs(pair_cells, L: int) -> str:
+    """Structure string from the Viterbi pair set alone: every struct
+    class of the traceback (motif_scanner.hpp:262-362) is a pure
+    function of the pair nesting — L/R at pair ends; interior of a
+    childless pair H; one child: empty-gap side bulge B else internal I;
+    >=2 children: M; unenclosed O."""
+    struct = ["O"] * L
+    # cells are (j, w): pair bases i = j - w and j - 1
+    spans = sorted(((int(j) - int(w), int(j)) for j, w in pair_cells),
+                   key=lambda p: (p[0], -p[1]))
+    stack = []
+    children = {sp: [] for sp in spans}
+    roots = []
+    for sp in spans:
+        while stack and sp[0] >= stack[-1][1]:
+            stack.pop()
+        (children[stack[-1]] if stack else roots).append(sp)
+        stack.append(sp)
+    for (i, j) in spans:
+        struct[i] = "L"
+        struct[j - 1] = "R"
+        cs = children[(i, j)]
+        inner = range(i + 1, j - 1)
+        if not cs:
+            for p in inner:
+                struct[p] = "H"
+        else:
+            covered = np.zeros(L, bool)
+            for (k, l) in cs:
+                covered[k:l] = True
+            mark = "M" if len(cs) >= 2 else (
+                "B" if (cs[0][0] == i + 1 or cs[0][1] == j - 1) else "I")
+            for p in inner:
+                if not covered[p]:
+                    struct[p] = mark
+    return "".join(struct)
+
+
+def cyk_batch_start(cfg: J.ModelConfig, params: J.Params, sd_b,
+                    Ys_b, Ye_b):
+    """Dispatch the chunk's mark-based Viterbi extraction; returns an
+    opaque handle for cyk_batch_finish.  The device output is tiny
+    (psihat ints + pair bits + ok flags), so the fetch that dominated
+    the table-based path disappears."""
+    from .scanner import state_masks
+    J.kernels(cfg)
+    state_masks(cfg)
+    _maxb_kernel(cfg)
+    import time
+    t0 = time.time()
+    out = _cyk_marks_batch_jit(cfg, params, sd_b,
+                               jnp.asarray(Ys_b), jnp.asarray(Ye_b))
+    for leaf in jax.tree.leaves(out):
+        try:
+            leaf.copy_to_host_async()
+        except Exception:
+            pass
+    return (out, params, sd_b, np.asarray(Ys_b).copy(),
+            np.asarray(Ye_b).copy(), t0)
+
+
+def cyk_batch_finish(cfg: J.ModelConfig, handle, n_valid: int):
+    """Assemble per-read (state_path, struct) from the device marks;
+    reads whose marks report a tie (split argmax) re-run through the
+    exact table-based host traceback."""
+    import os
+    import sys
+    import time
+    out, params, sd_b, Ys_b, Ye_b, t0 = handle
+    t1 = time.time()
+    psihat = np.asarray(out["psihat"])        # [Lp, B]
+    pairs = np.asarray(out["pairs"])          # [Lp+1, Wp+1, B]
+    ok = np.asarray(out["ok"])                # [B]
+    L_b = np.asarray(sd_b.L)
+    t2 = time.time()
+    res = []
+    n_fb = 0
+    for t in range(n_valid):
+        L = int(L_b[t])
+        if ok[t]:
+            cells = np.argwhere(pairs[:, :, t])
+            res.append((psihat[:, t].copy(), rss_from_pairs(cells, L)))
+        else:
+            # tie fallback: exact argmax-order traceback on this read
+            n_fb += 1
+            sd = jax.tree.map(lambda x: np.asarray(x)[t], sd_b)
+            res.append(viterbi_alignment(
+                cfg, params, sd, int(Ys_b[t]), int(Ye_b[t])))
+    if os.environ.get("RNAELEM_SCAN_PROF"):
+        print(f"cyk marks n={n_valid}: dispatch->finish {t1-t0:.2f}s "
+              f"fetch-wait {t2-t1:.2f}s assemble {time.time()-t2:.2f}s "
+              f"fallbacks {n_fb}",
+              file=sys.stderr, flush=True)
+    return res

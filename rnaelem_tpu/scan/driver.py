@@ -69,7 +69,11 @@ class Scanner:
         self.cfg0 = cfg
         self.params0 = params
 
-    def scan(self, fq_path: str, out, log=sys.stderr):
+    def scan(self, fq_path: str, out, log=None):
+        if log is None:
+            log = sys.stderr   # resolved at call time: callers may
+            #                    redirect stderr per task (elem
+            #                    --in-process)
         t0 = time.time()
         qr = FastqReader(fq_path)
         reads = list(qr.reads())

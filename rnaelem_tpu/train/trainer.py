@@ -135,11 +135,14 @@ class Trainer:
         self._eval_cnt += 1
         return fn, np.asarray(gr)
 
-    def _build_batch(self, iter_cnt):
-        """Advance the reader one minibatch and build its BatchData
-        (reads + iter-keyed negatives + BPP masks).  Parameter-free, so
-        it can run in the prefetch worker while the device computes the
-        previous step's fn/grad."""
+    def _read_batch_host(self, iter_cnt):
+        """HOST-ONLY half of batch building: advance the reader one
+        minibatch, draw the iter-keyed negatives, pack per-read host
+        arrays.  Touches no JAX API, so it is safe to run in the
+        prefetch worker while the device computes the previous step
+        (concurrent device dispatch/compile from a second thread broke
+        both multi-process collectives — gloo order mismatch — and
+        this jaxlib's CPU compiler)."""
         qr = self.qr
         if qr.N() - qr.orig().cnt() < qr.N_batch():
             qr.skip(qr.N() - qr.orig().cnt())
@@ -155,24 +158,28 @@ class Trainer:
                 s = ints_to_seq(r.seq)
                 negs.append(seq_to_ints(
                     negative_for(s, self.kmer_shuf, iter_cnt)))
+        return dict(iter_cnt=iter_cnt, epoch_end=epoch_end,
+                    reads=reads, negs=negs)
+
+    def _finish_batch(self, got):
+        """Device half: stack + BPP mask pass (consumer thread only)."""
         if not hasattr(self, "_bp_cache"):
             self._bp_cache = OBJ.BpMaskCache()
+        reads, negs = got["reads"], got["negs"]
         cfg_b = self._bucket_cfg(reads, negs)
         step_fn, bp_fn = self._funcs_for(cfg_b)
         batch = OBJ.stack_reads(cfg_b, reads,
                                 negs if not self.no_shuffle else None,
                                 bp_cache=self._bp_cache,
                                 bp_fn=bp_fn)
-        return dict(iter_cnt=iter_cnt, epoch_end=epoch_end,
-                    reads=reads, cfg=cfg_b, step_fn=step_fn,
-                    batch=batch)
+        return dict(got, cfg=cfg_b, step_fn=step_fn, batch=batch)
 
     def _take_batch(self, iter_cnt):
-        """The batch for this evaluation: consume the prefetched one if
-        its iteration key matches, else build synchronously; then start
-        prefetching the next.  Negatives are keyed by iter_cnt and the
-        masks are parameter-independent, so a batch built one step
-        ahead is bit-identical to one built on demand."""
+        """The batch for this evaluation: consume the prefetched host
+        half if its iteration key matches, else build synchronously;
+        then start prefetching the next.  Negatives are keyed by
+        iter_cnt and masks are parameter-free, so a batch built one
+        step ahead is bit-identical to one built on demand."""
         got = None
         if self._prefetch is not None:
             pf = self._prefetch
@@ -182,29 +189,21 @@ class Trainer:
             except Exception:
                 self._pf_pool = None      # worker died: fall back
                 raise
-            if res["iter_cnt"] == iter_cnt:
-                got = res
-            # non-sequential call pattern: the reader already advanced,
-            # so keep the reads but regenerate the iter-keyed negatives
-            elif not self.no_shuffle:
-                negs = [seq_to_ints(negative_for(
+            if res["iter_cnt"] != iter_cnt and not self.no_shuffle:
+                # non-sequential call pattern: the reader has advanced,
+                # so keep the reads but redraw the iter-keyed negatives
+                res["negs"] = [seq_to_ints(negative_for(
                     ints_to_seq(s), self.kmer_shuf, iter_cnt))
                     for s, _ in res["reads"]]
-                batch = OBJ.stack_reads(res["cfg"], res["reads"], negs,
-                                        bp_cache=self._bp_cache,
-                                        bp_fn=self._funcs_for(
-                                            res["cfg"])[1])
-                got = dict(res, iter_cnt=iter_cnt, batch=batch)
-            else:
-                got = res
+            got = dict(res, iter_cnt=iter_cnt)
         if got is None:
-            got = self._build_batch(iter_cnt)
+            got = self._read_batch_host(iter_cnt)
         if self._pf_pool is None:
             from concurrent.futures import ThreadPoolExecutor
             self._pf_pool = ThreadPoolExecutor(max_workers=1)
         self._prefetch = self._pf_pool.submit(
-            self._build_batch, iter_cnt + 1)
-        return got
+            self._read_batch_host, iter_cnt + 1)
+        return self._finish_batch(got)
 
     def _objective(self, x, iter_cnt):
         """One fn/gr evaluation over the next minibatch

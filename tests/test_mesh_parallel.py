@@ -1,6 +1,17 @@
 """Data-parallel training step: the psum-reduced (fn, grad, eff) over an
 8-device mesh must equal the single-device evaluation (the multi-host
-test the reference lacks; SURVEY §4 item (e))."""
+test the reference lacks; SURVEY §4 item (e)).
+
+The mesh-compiling test re-runs itself in a FRESH interpreter: this
+jaxlib segfaults inside backend_compile_and_load when its first
+mesh-sharded CPU executable is built late in a long-lived process
+(reproduced at the same suite position across four full-suite runs,
+with and without the persistent compilation cache; every mesh test
+passes in isolation)."""
+import os
+import subprocess
+import sys
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -10,6 +21,20 @@ from rnaelem_tpu.alphabet import seq_to_ints
 from rnaelem_tpu.model import joint as J
 from rnaelem_tpu.parallel import mesh as MESH
 from rnaelem_tpu.train import objective as OBJ
+
+_INNER = os.environ.get("RNAELEM_MESH_INNER") == "1"
+
+
+def _rerun_isolated(test_name, timeout=900):
+    # cache OFF in the child: writing a mesh-sharded executable to the
+    # persistent cache is this jaxlib's other reproducible segfault
+    env = dict(os.environ, RNAELEM_MESH_INNER="1",
+               JAX_ENABLE_COMPILATION_CACHE="false")
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest", "-x", "-q",
+         f"{__file__}::{test_name}"],
+        env=env, capture_output=True, text=True, timeout=timeout)
+    assert r.returncode == 0, (r.stdout[-3000:] + r.stderr[-2000:])
 
 
 def _toy_batch(cfg, n, seed=0):
@@ -24,6 +49,9 @@ def _toy_batch(cfg, n, seed=0):
 
 
 def test_psum_grad_equals_single_device():
+    if not _INNER:
+        _rerun_isolated("test_psum_grad_equals_single_device")
+        return
     assert len(jax.devices()) >= 8, jax.devices()
     cfg = J.ModelConfig(pattern="(...)", Lp=24, max_span=24, max_iloop=8,
                         min_bpp=0.0, tau=0.1, dtype="float64")

@@ -9,12 +9,19 @@ reference's TR_ARRAY text-file all-reduce
 (/root/reference/RNAelem/motif_array_trainer.hpp:20-58).
 """
 import os
+import subprocess
+import sys
 
 import numpy as np
 
 import jax
 
 from rnaelem_tpu import cli
+
+# see tests/test_mesh_parallel.py: the first mesh-sharded CPU compile in
+# a long-lived process segfaults this jaxlib, so the mesh-compiling test
+# re-runs itself in a fresh interpreter
+_INNER = os.environ.get("RNAELEM_MESH_INNER") == "1"
 
 
 def _write_fq(path, n, L, seed=7):
@@ -41,6 +48,15 @@ def _run(tmp_path, tag, mesh_flag):
 
 
 def test_mesh_train_model_byte_identical(tmp_path):
+    if not _INNER:
+        env = dict(os.environ, RNAELEM_MESH_INNER="1",
+                   JAX_ENABLE_COMPILATION_CACHE="false")
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", "-x", "-q",
+             f"{__file__}::test_mesh_train_model_byte_identical"],
+            env=env, capture_output=True, text=True, timeout=1200)
+        assert r.returncode == 0, (r.stdout[-3000:] + r.stderr[-2000:])
+        return
     assert len(jax.devices()) >= 8, jax.devices()
     _write_fq(str(tmp_path / "train.fq"), 8, 14)
     single = _run(tmp_path, "single", "0")

@@ -55,7 +55,9 @@ def _env(n_local_devices):
     env["PALLAS_AXON_POOL_IPS"] = ""
     env["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=%d"
                         % n_local_devices)
-    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jaxcache"
+    # cache OFF: serializing mesh-sharded CPU executables to the
+    # persistent cache segfaults this jaxlib (tests/test_mesh_parallel)
+    env["JAX_ENABLE_COMPILATION_CACHE"] = "false"
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     return env
 
